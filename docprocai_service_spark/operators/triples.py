@@ -1,0 +1,91 @@
+"""Stage 2 — sentence split + OpenIE-style triple + mention extraction (C3/C5).
+
+The reference does this shape as a per-document Python loop producing many
+segment rows from one document (UDTF analog,
+reference: fileextractlib/PdfProcessor.py:43-61 and the sessionized scan at
+fileextractlib/VideoProcessor.py:92-174). Here the whole stage is **pure JVM
+expressions** — split / filter / posexplode / regexp_extract / sha2 — so it
+runs inside whole-stage codegen with zero Python in the hot path. That is a
+deliberate strengthening of the input-hint's "vectorized UDFs" floor: the
+fastest UDF is the one you didn't write.
+
+Patterns (SENT_SPLIT_REGEX, TRIPLE_REGEX) are shared constants with the
+pure-Python oracle (functions/text.py), keeping Java/Python regex semantics
+aligned; tests assert exact triple equality on the synthetic corpus.
+
+Scale notes: narrow stage (no shuffle); explode fan-out is ~#sentences per
+page which is bounded; deterministic mention ids are sha256 of
+(url, warc_ts, sent_no, role, surface) — never UUIDs (SURVEY.md §2.8), so
+re-runs are idempotent and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import SENT_SPLIT_REGEX, TRIPLE_REGEX
+
+
+def sentences_stage(extracted: DataFrame) -> DataFrame:
+    """extracted_text → one row per (url, warc_ts, sent_no, sentence).
+
+    Only lang='en' rows enter (dispatch analog of
+    reference: fileextractlib/DocumentProcessor.py:25-30); empty fragments are
+    dropped BEFORE numbering so sent_no matches the oracle.
+    """
+    sents = F.filter(
+        F.split(F.col("text"), SENT_SPLIT_REGEX),
+        lambda x: x != F.lit(""),
+    )
+    return (
+        extracted.filter((F.col("lang") == "en") & F.col("text").isNotNull())
+        .select("url", "warc_ts", F.posexplode(sents).alias("sent_no", "sentence"))
+    )
+
+
+def triples_stage(extracted: DataFrame) -> DataFrame:
+    """extracted_text → triples(subj, pred, obj, url, warc_ts, sent_no)."""
+    s = sentences_stage(extracted)
+    parsed = s.select(
+        F.regexp_extract("sentence", TRIPLE_REGEX, 1).alias("subj"),
+        F.regexp_extract("sentence", TRIPLE_REGEX, 2).alias("pred"),
+        F.regexp_extract("sentence", TRIPLE_REGEX, 3).alias("obj"),
+        "url",
+        "warc_ts",
+        "sent_no",
+    )
+    return parsed.filter(F.col("pred") != "")
+
+
+def mentions_stage(triples: DataFrame) -> DataFrame:
+    """triples → mentions, two per triple (subj + obj roles).
+
+    mention_id = sha256(url|unix_micros(warc_ts)|sent_no|role|surface),
+    identical to reference_impl.mention_id.
+    """
+    role_surface = F.explode(
+        F.array(
+            F.struct(F.lit("subj").alias("role"), F.col("subj").alias("surface")),
+            F.struct(F.lit("obj").alias("role"), F.col("obj").alias("surface")),
+        )
+    ).alias("rs")
+    m = triples.select("url", "warc_ts", "sent_no", role_surface)
+    return m.select(
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("url"),
+                F.unix_micros(F.col("warc_ts")).cast("string"),
+                F.col("sent_no").cast("string"),
+                F.col("rs.role"),
+                F.col("rs.surface"),
+            ),
+            256,
+        ).alias("mention_id"),
+        "url",
+        "warc_ts",
+        "sent_no",
+        F.col("rs.surface").alias("surface"),
+        F.col("rs.role").alias("role"),
+    )
