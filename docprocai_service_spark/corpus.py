@@ -11,7 +11,7 @@ must handle at 100 TB:
   * ~5%% malformed HTML (unclosed tags), ~1%% empty <main> → extractor edge
     cases (analog of the reference's empty-page filter,
     reference: fileextractlib/PdfProcessor.py:53-59)
-  * ~5%% duplicate entities (same name ± legal-form suffix, distinct ids)
+  * ~5%% duplicate entities (same name ± inflection, distinct ids)
     → canonicalization ground truth
   * ambiguous short aliases (one alias → several entity_ids) → exercises the
     disambiguation argmax (reference: service/DocProcAiService.py:739-753)
@@ -41,7 +41,11 @@ _SECOND = [
     "Partners", "Works", "Tech", "Media", "Energy", "Logistics", "Dynamics",
     "Networks",
 ]
-_DUP_SUFFIX = "Ltd"  # duplicate entities append this legal form
+_MID = [
+    "Global", "United", "Advanced", "Digital", "Quantum", "Pacific",
+    "Northern", "Royal", "Prime", "Apex",
+]
+_DUP_VARIANT = "s"  # duplicate entities pluralize (high-Jaccard variant)
 
 _DE_WORDS = "der die das und ist ein eine mit von für nicht auf werden haben".split()
 _XX_WORDS = "zorp blint quux frob wibble snark gronk plurf".split()
@@ -50,9 +54,17 @@ _BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
 
 
 def entity_name(k: int) -> str:
-    base = f"{_FIRST[k % len(_FIRST)]} {_SECOND[(k // len(_FIRST)) % len(_SECOND)]}"
-    suffix = k // (len(_FIRST) * len(_SECOND))
-    return f"{base} {suffix}" if suffix else base
+    """Unique, word-distinct names (no numeric suffixes — a trailing digit
+    would make unrelated entities near-duplicates under char-shingle Jaccard
+    and poison the canonicalization ground truth). Capacity 3,300."""
+    n2 = len(_FIRST) * len(_SECOND)
+    if k < n2:
+        return f"{_FIRST[k % len(_FIRST)]} {_SECOND[(k // len(_FIRST)) % len(_SECOND)]}"
+    j = k - n2
+    return (
+        f"{_FIRST[j % len(_FIRST)]} {_MID[(j // len(_FIRST)) % len(_MID)]} "
+        f"{_SECOND[(j // (len(_FIRST) * len(_MID))) % len(_SECOND)]}"
+    )
 
 
 @dataclass
@@ -84,7 +96,7 @@ def make_corpus(
         k = n_entities - 1 - j * 2  # every other tail slot, no overlap
         if k <= 0:
             break
-        names[k] = f"{names[k - 1]} {_DUP_SUFFIX}"
+        names[k] = names[k - 1] + _DUP_VARIANT
         dup_groups.append([f"E{k - 1:06d}", f"E{k:06d}"])
     entity_ids = [f"E{k:06d}" for k in range(n_entities)]
     prior = _zipf_weights(n_entities)

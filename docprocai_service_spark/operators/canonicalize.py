@@ -1,0 +1,173 @@
+"""Stage 4 — canonicalization via MinHash-LSH + connected components (C7/C8).
+
+Replaces two reference mechanisms:
+  * the all-pairs nested-loop similarity join over segments
+    (reference: service/DocProcAiService.py:710-757, threshold 0.7 from
+    config.yaml:50) → MinHash signatures + LSH band-key equi-join, so
+    candidate count is ~linear instead of quadratic;
+  * the global BERTopic re-fit per ingest that transitively groups similar
+    items (reference: fileextractlib/TopicModel.py:28-71, triggered from
+    service/DocProcAiService.py:186-189) → iterative min-label propagation on
+    DataFrames (GraphFrames-style), run per batch.
+
+Determinism: canonical id = MIN(member id) per component — an order-free
+reduction, never `first()`; signatures are pure functions of the name
+(functions/hashing.py). Iteration uses localCheckpoint() every round to
+truncate lineage (the known plan-size hazard of iterative DataFrame jobs,
+SURVEY.md §4.2).
+
+Scale notes: similarity runs over DISTINCT names, not mentions — at web scale
+distinct surface forms are orders of magnitude smaller than mention count.
+Band keys of ultra-hot buckets (stopword-like names) are capped via a
+group-size guard to bound the pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    band_keys,
+    make_jaccard_udf,
+    make_minhash_udf,
+    signature_similarity,
+)
+
+
+def similarity_edges(
+    names: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    threshold: float = 0.7,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 200,
+    verify: str = "exact",
+) -> DataFrame:
+    """(id, name) → undirected candidate edges (src, dst, sim ≥ threshold).
+
+    Plan shape: minhash UDF (narrow) → posexplode band keys → self equi-join
+    on band_key (shuffle on uniform sha256 keys) → distinct pair → similarity
+    verification ≥ threshold. `max_bucket` drops degenerate buckets
+    (> max_bucket members) — at web scale a single hot bucket would otherwise
+    produce a quadratic pair blowup; dropped buckets are boilerplate-like
+    names whose pairs are almost surely below threshold anyway.
+
+    verify='exact' (default) re-computes true shingle Jaccard on the pruned
+    candidate set (Arrow UDF) — deterministic near the threshold, where the
+    MinHash estimate's ~1/√k noise would coin-flip borderline pairs.
+    verify='estimate' keeps the pure-JVM signature similarity (cheaper; use
+    when the threshold sits in a margin, e.g. page-level dedup at 0.9).
+    """
+    minhash = make_minhash_udf(k=k)
+    sigs = names.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        minhash(F.col(name_col)).alias("sig"),
+    ).localCheckpoint()  # computed once; reused by both join sides
+
+    banded = sigs.select("id", F.explode(band_keys(F.col("sig"), bands, k)).alias("band_key"))
+    # bound hot buckets before the self-join
+    sized = banded.withColumn("__n", F.count("*").over(Window.partitionBy("band_key")))
+    banded = sized.filter(F.col("__n") <= max_bucket).drop("__n")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+        .distinct()
+    )
+    if verify == "exact":
+        n1 = sigs.select(F.col("id").alias("src"), F.col("name").alias("name1"))
+        n2 = sigs.select(F.col("id").alias("dst"), F.col("name").alias("name2"))
+        jac = make_jaccard_udf()
+        scored = (
+            pairs.join(n1, "src")
+            .join(n2, "dst")
+            .withColumn("sim", jac(F.col("name1"), F.col("name2")))
+        )
+    else:
+        s1 = sigs.select(F.col("id").alias("src"), F.col("sig").alias("sig1"))
+        s2 = sigs.select(F.col("id").alias("dst"), F.col("sig").alias("sig2"))
+        scored = (
+            pairs.join(s1, "src")
+            .join(s2, "dst")
+            .withColumn("sim", signature_similarity(F.col("sig1"), F.col("sig2")))
+        )
+    return scored.filter(F.col("sim") >= threshold).select("src", "dst", "sim")
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Undirected connected components → (id, comp) with comp = MIN(id) in component.
+
+    Iterative min-label propagation: each round every vertex takes the min of
+    its own label and its neighbors' labels; converges in O(diameter) rounds.
+    Each round is one shuffle (join + groupBy on id). localCheckpoint()
+    truncates lineage so the plan stays O(1) per round instead of growing —
+    without it, iteration k would replay all k-1 prior shuffles at every
+    action. For graphs with huge diameter, swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — same
+    DataFrame skeleton, fewer rounds; label propagation is kept here because
+    entity-dup components are tiny and shallow.
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("id")).distinct()
+    labels = vertices.select("id", F.col("id").alias("comp")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for i in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_entities(
+    entity_names: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(entity_id, name) → (entity_id, canon_id) mapping via LSH components.
+
+    Entities whose names are near-duplicates (planted `… Ltd` variants, crawl
+    noise) collapse to one canonical id = MIN(entity_id) of the component;
+    entities with no similar peer map to themselves.
+    """
+    edges = similarity_edges(
+        entity_names, id_col="entity_id", name_col="name", threshold=threshold
+    )
+    comps = connected_components(edges)
+    return (
+        entity_names.select(F.col("entity_id"))
+        .join(comps.withColumnRenamed("id", "entity_id"), "entity_id", "left")
+        .select("entity_id", F.coalesce(F.col("comp"), F.col("entity_id")).alias("canon_id"))
+    )

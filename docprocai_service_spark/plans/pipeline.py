@@ -1,0 +1,155 @@
+"""The full KG-construction pipeline: extract → triples → link → canonicalize
+→ materialize, with per-stage checkpoints, lineage rows and metrics (C13).
+
+The reference runs these as priority-ordered queue tasks (ingest=0, linking=1,
+assessment=2 — reference: service/DocProcAiService.py:199,293,376-383) on one
+worker thread; here the ordering is the explicit stage DAG below, and
+parallelism is the cluster. The reference's global BERTopic recompute per
+ingest (service/DocProcAiService.py:186-189) becomes the per-batch
+canonicalization stage.
+
+Lineage (FIXTURES.md F3): one row per (stage, partition) with an
+order-insensitive key hash and row counts, computed as a grouped aggregation
+over spark_partition_id() — distributed, no driver collect. Triple-count
+metrics additionally flow through df.observe() accumulators, the Spark analog
+of the reference's per-task progress reporting
+(reference: service/DocProcAiService.py:511-557).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import canonicalize_entities
+from ..operators.extract import extract_stage
+from ..operators.linking import link_mentions
+from ..operators.materialize import edges_table, entities_table, resolve_entities
+from ..operators.triples import mentions_stage, triples_stage
+from ..sources.manifest import StageStore
+
+
+def lineage_rows(df: DataFrame, stage: str, key_cols: list[str], rows_in: int, wall_ms: int) -> DataFrame:
+    """Per-partition lineage: order-insensitive key hash + row count (no collect)."""
+    key = F.xxhash64(*[F.col(c).cast("string") for c in key_cols])
+    return (
+        df.withColumn("__key", key)
+        .groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            # bit_xor: order-insensitive and overflow-free (ANSI mode is on in
+            # Spark 4, where a long SUM over hashes would raise on overflow)
+            F.sha2(F.expr("bit_xor(__key)").cast("string"), 256).alias("input_keys_hash"),
+            F.count("*").alias("rows_out"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "input_keys_hash",
+            F.lit(rows_in).cast("long").alias("rows_in"),
+            "rows_out",
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+    )
+
+
+@dataclass
+class PipelineResult:
+    extracted: DataFrame
+    triples: DataFrame
+    mentions: DataFrame
+    linked: DataFrame
+    canon_map: DataFrame
+    entities: DataFrame
+    edges: DataFrame
+    lineage: DataFrame | None
+    metrics: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str | None = None,
+    link_strategy: str = "prereduced",
+    canon_threshold: float = 0.7,
+    resume: bool = True,
+    collect_lineage: bool = True,
+) -> PipelineResult:
+    """Run (or resume) the five-stage DAG; persist per-stage when out_dir given.
+
+    With out_dir + resume, each materialized stage is skipped when its
+    _SUCCESS + manifest are present and its input keys are all covered —
+    kill the job anywhere and re-running converges to identical bytes.
+    """
+    store = StageStore(spark, out_dir) if out_dir else None
+    metrics: dict = {}
+    lineages: list[DataFrame] = []
+    t_start = time.time()
+
+    # Resume ledger: the "extracted" stage holds exactly one row per input
+    # page, so it is the key coverage record for the whole DAG (pages with no
+    # triples still appear there — checking coverage against sparse downstream
+    # outputs would spuriously re-run stages).
+    _covered: list[bool] = []
+
+    def pages_covered() -> bool:
+        if not _covered:
+            _covered.append(
+                store.is_done("extracted") and store.todo_keys("extracted", pages).isEmpty()
+            )
+        return _covered[0]
+
+    def run_stage(name: str, make, key_cols: list[str], rows_in: int = -1) -> DataFrame:
+        t0 = time.time()
+        if store is not None:
+            if resume and store.is_done(name) and pages_covered():
+                df = store.read(name)
+                metrics[f"{name}_resumed"] = True
+            else:
+                df = store.write(name, make())
+        else:
+            df = make()
+        wall = int((time.time() - t0) * 1000)
+        metrics[f"{name}_wall_ms"] = wall
+        if collect_lineage:
+            lineages.append(lineage_rows(df, name, key_cols, rows_in, wall))
+        return df
+
+    extracted = run_stage("extracted", lambda: extract_stage(pages), ["url", "warc_ts"])
+    triples = run_stage("triples", lambda: triples_stage(extracted), ["url", "warc_ts", "sent_no"])
+    mentions = run_stage("mentions", lambda: mentions_stage(triples), ["mention_id"])
+    linked = run_stage(
+        "linked", lambda: link_mentions(mentions, alias_dict, strategy=link_strategy), ["mention_id"]
+    )
+
+    def make_canon() -> DataFrame:
+        names = alias_dict.groupBy("entity_id").agg(
+            F.max_by("alias", F.length("alias")).alias("name")
+        )
+        return canonicalize_entities(names, threshold=canon_threshold)
+
+    canon_map = run_stage("canon_map", make_canon, ["entity_id"])
+    resolved = resolve_entities(triples, alias_dict, canon_map)
+    edges = run_stage("edges", lambda: edges_table(resolved), ["src_entity", "dst_entity", "pred"])
+    entities = run_stage("entities", lambda: entities_table(alias_dict, canon_map), ["entity_id"])
+
+    lineage = None
+    if collect_lineage:
+        lineage = lineages[0]
+        for extra in lineages[1:]:
+            lineage = lineage.unionByName(extra)
+        if store is not None:
+            lineage.write.mode("overwrite").parquet(store.path("lineage"))
+
+    n_triples = triples.count()
+    metrics.update(
+        {
+            "n_triples": n_triples,
+            "total_wall_s": time.time() - t_start,
+            "triples_per_sec": n_triples / max(time.time() - t_start, 1e-9),
+        }
+    )
+    return PipelineResult(extracted, triples, mentions, linked, canon_map, entities, edges, lineage, metrics)
