@@ -46,6 +46,8 @@ def similarity_edges(
     bands: int = DEFAULT_BANDS,
     max_bucket: int = 200,
     verify: str = "exact",
+    shingle: str = "char",
+    n: int = 3,
 ) -> DataFrame:
     """(id, name) → undirected candidate edges (src, dst, sim ≥ threshold).
 
@@ -62,7 +64,7 @@ def similarity_edges(
     verify='estimate' keeps the pure-JVM signature similarity (cheaper; use
     when the threshold sits in a margin, e.g. page-level dedup at 0.9).
     """
-    minhash = make_minhash_udf(k=k)
+    minhash = make_minhash_udf(k=k, shingle=shingle, n=n)
     sigs = names.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
@@ -85,7 +87,7 @@ def similarity_edges(
     if verify == "exact":
         n1 = sigs.select(F.col("id").alias("src"), F.col("name").alias("name1"))
         n2 = sigs.select(F.col("id").alias("dst"), F.col("name").alias("name2"))
-        jac = make_jaccard_udf()
+        jac = make_jaccard_udf(shingle=shingle, n=n)
         scored = (
             pairs.join(n1, "src")
             .join(n2, "dst")

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (capability C11 + ANN scale path).
+
+Baseline: exact top-k cosine — score every row, `orderBy().limit(k)`. Spark
+plans TakeOrderedAndProject: per-partition top-k heaps + driver merge, the
+distributed two-phase top-k for free (SURVEY.md §2.5). This matches the
+reference's KNN exactly: pgvector with NO index is a sequential exact scan
+(reference: persistence/SegmentDbConnector.py:223-267 — no ivfflat/hnsw DDL
+exists in persistence/).
+
+Scale path: random-hyperplane LSH (sign-bit buckets). Bucketing is a single
+narrow pandas-UDF pass (numpy matmul per Arrow batch); queries probe their own
+bucket plus Hamming-1 neighbors, then score exactly within candidates. At
+10⁹ vectors this turns a full scan into ~(probes/2^bits) of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vector import cosine_similarity
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity (TakeOrderedAndProject)."""
+    q = F.lit(query).cast("array<float>")
+    return (
+        vectors.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q.cast("array<double>")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float64)
+
+
+def make_bucket_udf(dim: int, n_bits: int = 12, seed: int = 7):
+    """embedding → int bucket id = sign bits against fixed random hyperplanes."""
+    planes = _planes(dim, n_bits, seed)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (batch, dim) — one matmul per Arrow batch
+        bits = (mat @ planes) > 0
+        return pd.Series(bits @ weights)
+
+    return bucket_udf
+
+
+def bucketize(vectors: DataFrame, dim: int, n_bits: int = 12, seed: int = 7,
+              vec_col: str = "embedding") -> DataFrame:
+    """Persistable LSH index: adds a `bucket` column (narrow, one pass)."""
+    b = make_bucket_udf(dim, n_bits, seed)
+    return vectors.withColumn("bucket", b(F.col(vec_col)))
+
+
+def ann_topk(
+    bucketed: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ Hamming-`multiprobe`
+    neighbors), score exactly within candidates.
+
+    The bucket filter is a partition-prunable equality IN-list — on a
+    bucket-partitioned table Spark reads only the probed buckets.
+    """
+    planes = _planes(dim, n_bits, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qbits = (qv @ planes) > 0
+    base = int((qbits * (1 << np.arange(n_bits))).sum())
+    probes = [base]
+    if multiprobe >= 1:
+        probes += [base ^ (1 << i) for i in range(n_bits)]
+    if multiprobe >= 2:
+        probes += [base ^ (1 << i) ^ (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)]
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    exact=True: full self-join (O(n²) — oracle-checkable small-scale path).
+    exact=False: candidates restricted to same LSH bucket first (scale path;
+    recall depends on threshold vs bucket resolution).
+    """
+    left = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    right = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    if exact:
+        pairs = left.crossJoin(right).filter(F.col("id1") < F.col("id2"))
+    else:
+        b = bucketize(vectors, dim, n_bits, seed, vec_col)
+        lb = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
+        rb = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+        pairs = lb.join(rb, "bucket").filter(F.col("id1") < F.col("id2")).drop("bucket")
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            cosine_similarity(F.col("v1").cast("array<double>"), F.col("v2").cast("array<double>")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )

@@ -76,8 +76,10 @@ class StageStore:
         (service/DocProcAiService.py:360-366).
         """
         if self.is_done(stage):
-            existing = self.read(stage)
-            df = df.join(existing.select(*keys).distinct(), keys, "left_anti")
+            # Materialize done-keys BEFORE appending — the anti-join must not
+            # lazily re-list the directory it is being appended into.
+            done = self.read(stage).select(*keys).distinct().localCheckpoint()
+            df = df.join(done, keys, "left_anti")
             df.write.mode("append").parquet(self.path(stage))
         else:
             df.write.mode("overwrite").parquet(self.path(stage))

@@ -1,0 +1,112 @@
+"""MinHash determinism, LSH recall on planted pairs, connected components on
+hand-built graphs (FIXTURES.md F4), canonicalization P/R vs planted dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docprocai_service_spark.functions.hashing import (
+    jaccard,
+    minhash_signature,
+    simhash64,
+)
+from docprocai_service_spark.operators.canonicalize import (
+    canonicalize_entities,
+    connected_components,
+    similarity_edges,
+)
+
+
+def test_minhash_scalar_deterministic():
+    a = minhash_signature("Acme Corporation")
+    b = minhash_signature("Acme Corporation")
+    assert a == b and len(a) == 64
+
+
+def test_minhash_udf_matches_scalar(spark):
+    from docprocai_service_spark.functions.hashing import make_minhash_udf
+
+    names = ["Acme Corp", "Acme Corps", "Globex Inc", "", "x"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r["name"]: r["sig"] for r in df.select("name", make_minhash_udf()(F.col("name")).alias("sig")).collect()}
+    for n in names:
+        assert got[n] == minhash_signature(n), n
+
+
+def test_minhash_estimates_jaccard():
+    s1 = minhash_signature("the quick brown fox jumps over the lazy dog")
+    s2 = minhash_signature("the quick brown fox jumped over the lazy dog")
+    est = sum(x == y for x, y in zip(s1, s2)) / 64
+    true = jaccard("the quick brown fox jumps over the lazy dog", "the quick brown fox jumped over the lazy dog")
+    assert abs(est - true) < 0.2
+
+
+def test_simhash_close_for_near_duplicates():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    b = simhash64("the quick brown fox jumped over the lazy dog " * 5)
+    c = simhash64("completely different content about spark engines")
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+# ---------------------------------------------------- F4 graph micro-fixtures
+GRAPHS = {
+    "chain": ([("a", "b"), ("b", "c"), ("c", "d")], {"a": "a", "b": "a", "c": "a", "d": "a"}),
+    "star": ([("hub", f"x{i}") for i in range(1, 21)], {f"x{i}": "hub" for i in range(1, 21)} | {"hub": "hub"}),
+    "two_cliques_bridged": (
+        [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+        + [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+        + [("a4", "b0")],
+        {f"a{i}": "a0" for i in range(5)} | {f"b{i}": "a0" for i in range(5)},
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_connected_components_micro(spark, name):
+    edges, expected = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_connected_components_singletons(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    verts = spark.createDataFrame([("a",), ("b",), ("lonely",)], "id string")
+    got = {r["id"]: r["comp"] for r in connected_components(edges, vertices=verts).collect()}
+    assert got == {"a": "a", "b": "a", "lonely": "lonely"}
+
+
+def test_lsh_recall_on_planted_pairs(spark, spark_corpus, corpus):
+    _, alias = spark_corpus
+    names = alias.groupBy("entity_id").agg(F.max_by("alias", F.length("alias")).alias("name"))
+    edges = similarity_edges(names, id_col="entity_id", name_col="name", threshold=0.7)
+    got_pairs = {tuple(sorted((r["src"], r["dst"]))) for r in edges.collect()}
+    for g in corpus.dup_groups:
+        assert tuple(sorted(g)) in got_pairs, g
+
+
+def test_canonicalization_pr_vs_planted(spark, spark_corpus, corpus):
+    _, alias = spark_corpus
+    names = alias.groupBy("entity_id").agg(F.max_by("alias", F.length("alias")).alias("name"))
+    mp = {r["entity_id"]: r["canon_id"] for r in canonicalize_entities(names).collect()}
+    merged = sum(1 for g in corpus.dup_groups if mp[g[0]] == mp[g[1]])
+    assert merged == len(corpus.dup_groups)  # full recall on planted dups
+    from collections import Counter
+
+    sizes = Counter(mp.values())
+    planted = {e for g in corpus.dup_groups for e in g}
+    spurious = [e for e, cid in mp.items() if sizes[cid] > 1 and e not in planted]
+    assert not spurious  # full precision at this scale
+
+
+def test_components_partitioning_invariance(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(f"n{rnd.randrange(50)}", f"n{rnd.randrange(50)}") for _ in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, connected_components(df.repartition(2)).collect()))
+    b = sorted(map(tuple, connected_components(df.repartition(13)).collect()))
+    assert a == b

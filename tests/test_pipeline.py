@@ -1,0 +1,106 @@
+"""End-to-end pipeline: goldens, resume correctness, kill-and-resume, lineage."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from docprocai_service_spark.plans.pipeline import run_pipeline
+from docprocai_service_spark.sources.manifest import StageStore
+from docprocai_service_spark.streaming.incremental import incremental_ingest
+
+
+def _edges_key(df):
+    return sorted(map(tuple, df.select("src_entity", "dst_entity", "pred", "weight").collect()))
+
+
+@pytest.fixture(scope="module")
+def pipe_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, spark_corpus, pipe_dir):
+    """Eagerly collected snapshot — later runs overwrite the stage parquet, so
+    lazily-held DataFrames from this run would see stale file listings."""
+    pages, alias = spark_corpus
+    r = run_pipeline(spark, pages, alias, out_dir=pipe_dir)
+    return {
+        "metrics": r.metrics,
+        "edges_key": _edges_key(r.edges),
+        "n_edges": r.edges.count(),
+        "n_entities": r.entities.count(),
+        "lineage_stages": {x["stage"] for x in r.lineage.select("stage").distinct().collect()},
+        "lineage_bad": r.lineage.filter(F.col("rows_out") < 0).count(),
+    }
+
+
+def test_pipeline_produces_output(first_run):
+    assert first_run["metrics"]["n_triples"] > 1000
+    assert first_run["n_edges"] > 0
+    assert first_run["n_entities"] > 0
+
+
+def test_resume_is_byte_identical_and_skips_stages(spark, spark_corpus, pipe_dir, first_run):
+    pages, alias = spark_corpus
+    r2 = run_pipeline(spark, pages, alias, out_dir=pipe_dir)
+    assert all(r2.metrics.get(f"{s}_resumed") for s in ["extracted", "triples", "mentions", "linked", "canon_map", "edges", "entities"])
+    assert first_run["edges_key"] == _edges_key(r2.edges)
+
+
+def test_kill_and_resume_reruns_only_missing_stage(spark, spark_corpus, pipe_dir, first_run):
+    """FIXTURES.md F6: delete one stage manifest → only that stage (and its
+    dependents) recompute; outputs converge to identical rows."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, pipe_dir)
+    store.invalidate("canon_map")  # simulates torn write (no _SUCCESS)
+    assert not store.is_done("canon_map")
+    r3 = run_pipeline(spark, pages, alias, out_dir=pipe_dir)
+    assert r3.metrics.get("extracted_resumed")  # upstream untouched
+    assert "canon_map_resumed" not in r3.metrics  # recomputed
+    assert first_run["edges_key"] == _edges_key(r3.edges)
+
+
+def test_lineage_rows_cover_all_stages(first_run):
+    assert {"extracted", "triples", "mentions", "linked", "canon_map", "edges", "entities"} <= first_run["lineage_stages"]
+    assert first_run["lineage_bad"] == 0
+
+
+def test_incremental_ingest_appends_only_new_keys(spark, spark_corpus, tmp_path):
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "inc"))
+    first = pages.limit(120).localCheckpoint()
+    m1 = incremental_ingest(spark, first, store)
+    assert m1["new_pages"] == 120
+    # redelivery: at-least-once duplicates are no-ops
+    m2 = incremental_ingest(spark, first, store)
+    assert m2["new_pages"] == 0
+    m3 = incremental_ingest(spark, pages, store)
+    assert m3["new_pages"] == pages.count() - 120
+    # final state equals a fresh batch run over everything
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.triples import triples_stage
+
+    cols = ["subj", "pred", "obj", "url", "warc_ts", "sent_no"]
+    want = sorted(map(tuple, triples_stage(extract_stage(pages)).select(*cols).collect()))
+    got = sorted(map(tuple, store.read("triples").select(*cols).collect()))
+    assert got == want
+
+
+def test_streaming_ingest_available_now(spark, spark_corpus, tmp_path):
+    from docprocai_service_spark.streaming.incremental import streaming_ingest
+
+    pages, _ = spark_corpus
+    in_dir = str(tmp_path / "in")
+    pages.limit(50).write.mode("overwrite").parquet(in_dir)
+    store = StageStore(spark, str(tmp_path / "stream_out"))
+    streaming_ingest(spark, in_dir, store, str(tmp_path / "ckpt"))
+    assert store.read("extracted").count() == 50
+    # drop more files; a second availableNow run picks up only the new ones
+    pages.limit(80).write.mode("append").parquet(in_dir)
+    streaming_ingest(spark, in_dir, store, str(tmp_path / "ckpt"))
+    assert store.read("extracted").select("url", "warc_ts").distinct().count() == 80
