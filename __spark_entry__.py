@@ -1,38 +1,561 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the training-data-pipeline operators); `oracle_sql()`
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one. Column
+names/aliases match exactly on both sides; floating aggregates go through
+exact DECIMAL summation or round(…, 4) so value hashes are stable across
+engines; every top-k has a total tie-break order.
+
+Non-SQL-expressible entries (MinHash/SimHash LSH, ANN, the KG pipeline's
+iterative canonicalization) intentionally have no oracle — the driver records
+the weaker rows-only check for those, per the contract.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from docprocai_service_spark.functions.vector import cosine_similarity
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# =====================================================================
+# Relational operators over the TPC-H-ish tables (SURVEY §2.2-2.7)
+# =====================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    """Grouped aggregation w/ map-side partial agg (§2.4). Exact DECIMAL sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join + agg + deterministic top-k (§2.3/§2.6)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Star join with broadcast dims; Catalyst/AQE pick the join order (§2.3)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def top_events(spark, sf_dir):
+    """Global deterministic top-k → TakeOrderedAndProject (§2.6)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "event_type", F.col("value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+def min_order_per_customer(spark, sf_dir):
+    """MIN-per-group collapse — the reference's per-assessment MIN
+    (persistence/SegmentDbConnector.py:246-254) shape (§2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def segment_union(spark, sf_dir):
+    """Outer-union of heterogeneous schemas with source discriminator — the
+    correct translation of the reference's 3-way NATURAL FULL JOIN (§2.7)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("source"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.lit("supplier").alias("source"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS) — resume/existence-check building block (§2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def customers_with_orders(spark, sf_dir):
+    """Semi-join (EXISTS / IN-list whitelist pushdown, §2.2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    """Ranked window w/ total tie-break — the disambiguation argmax shape (§2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"), F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def event_type_sequence(spark, sf_dir):
+    """Ordered string-agg per group — transcript concat analog
+    (fileextractlib/VideoProcessor.py:131) (§2.4)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), " ").alias("type_seq")
+    )
+
+
+def sessionize_events(spark, sf_dir):
+    """Session windows (30-min gap) via lag+cumsum — the reference's stateful
+    ordered video segmentation shape (fileextractlib/VideoProcessor.py:92-174)
+    as a declarative window plan (§2.5)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1800, 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", F.coalesce(new_sess, F.lit(0)))
+        .groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def events_daily_cube(spark, sf_dir):
+    """CUBE grouping sets (§2.4 'absent in reference, free in Spark')."""
+    e = _t(spark, sf_dir, "events").withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    return e.cube("d", "event_type").agg(F.count("*").alias("n"))
+
+
+def json_props_sum(spark, sf_dir):
+    """JSON parse scalar function (§2.8 — reference LLM IO JSON handling)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n"))
+
+
+def brand_revenue_broadcast(spark, sf_dir):
+    """Fact ⋈ broadcast(dim) + agg — alias-dictionary join shape (C6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# Vector / similarity / search (C11 + ANN)
+# =====================================================================
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def cosine_topk(spark, sf_dir):
+    """Exact KNN: score-all + TakeOrdered — pgvector <=> with no index
+    (persistence/SegmentDbConnector.py:223-267) (C11)."""
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    score = cosine_similarity(
+        F.col("embedding").cast("array<double>"), F.lit(q).cast("array<double>")
+    )
+    return (
+        emb.select("vec_id", score.alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("raw", 4).alias("score"))
+    )
+
+
+def semantic_search_docs(spark, sf_dir):
+    """Reference semantic_search semantics end-to-end: whitelist pushdown →
+    cosine distance → self-exclusion (score>0) → deterministic top-k
+    (service/DocProcAiService.py:559-637)."""
+    q = _query_vec(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    whitelist = ["src1", "src2", "src3", "src4", "src5"]
+    seg = docs.join(emb, docs.doc_id == emb.vec_id).filter(F.col("source").isin(whitelist))
+    dist = F.lit(1.0) - cosine_similarity(
+        F.col("embedding").cast("array<double>"), F.lit(q).cast("array<double>")
+    )
+    return (
+        seg.select("doc_id", "source", dist.alias("raw"))
+        .filter(F.col("raw") > 0)
+        .orderBy(F.asc("raw"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", "source", F.round("raw", 4).alias("score"))
+    )
+
+
+def ann_topk_embeddings(spark, sf_dir):
+    """Sign-LSH bucketed ANN (scale path; approximate → rows-only check)."""
+    from docprocai_service_spark.operators.similarity import ann_topk, bucketize
+
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    b = bucketize(emb, dim=len(q), n_bits=8)
+    return ann_topk(b, q, dim=len(q), k=10, n_bits=8, multiprobe=2)
+
+
+# =====================================================================
+# Training-data pipeline operators over `documents`
+# =====================================================================
+
+def exact_dedup_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def token_counts_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def lang_id_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "predicted_lang")
+
+
+def quality_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", F.round("quality", 4).alias("quality"))
+
+
+def fingerprint_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.textstats import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def minhash_near_dup_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.5)
+    return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_near_dup_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+# =====================================================================
+# KG pipeline over the synthetic corpus (non-SQL: rows-only checks)
+# =====================================================================
+
+def _corpus_frames(spark):
+    from docprocai_service_spark.corpus import corpus_to_spark, make_corpus
+
+    c = make_corpus(n_pages=200, n_entities=300, seed=42)
+    return corpus_to_spark(spark, c)
+
+
+def kg_triples(spark, sf_dir):
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.triples import triples_stage
+
+    pages, _ = _corpus_frames(spark)
+    t = triples_stage(extract_stage(pages))
+    return t.select("subj", "pred", "obj", "url", F.col("warc_ts").cast("string").alias("ts"), "sent_no")
+
+
+def kg_linked_mentions(spark, sf_dir):
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.linking import link_mentions
+    from docprocai_service_spark.operators.triples import mentions_stage, triples_stage
+
+    pages, alias = _corpus_frames(spark)
+    m = mentions_stage(triples_stage(extract_stage(pages)))
+    linked = link_mentions(m, alias, strategy="prereduced")
+    return linked.select("mention_id", "surface", "entity_id", F.round("link_score", 6).alias("link_score"))
+
+
+def kg_edges(spark, sf_dir):
+    from docprocai_service_spark.plans.pipeline import run_pipeline
+
+    pages, alias = _corpus_frames(spark)
+    r = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    return r.edges.select("src_entity", "dst_entity", "pred", "weight")
+
+
+# =====================================================================
+# Driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reference-shaped semantic search over sf0.001 (C11)."""
+    return semantic_search_docs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "top_events": top_events,
+        "min_order_per_customer": min_order_per_customer,
+        "segment_union": segment_union,
+        "customers_without_orders": customers_without_orders,
+        "customers_with_orders": customers_with_orders,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "event_type_sequence": event_type_sequence,
+        "sessionize_events": sessionize_events,
+        "events_daily_cube": events_daily_cube,
+        "json_props_sum": json_props_sum,
+        "brand_revenue_broadcast": brand_revenue_broadcast,
+        "cosine_topk": cosine_topk,
+        "semantic_search_docs": semantic_search_docs,
+        "ann_topk_embeddings": ann_topk_embeddings,
+        "exact_dedup_docs": exact_dedup_docs,
+        "token_counts_docs": token_counts_docs,
+        "lang_id_docs": lang_id_docs,
+        "quality_docs": quality_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "minhash_near_dup_docs": minhash_near_dup_docs,
+        "simhash_near_dup_docs": simhash_near_dup_docs,
+        "kg_triples": kg_triples,
+        "kg_linked_mentions": kg_linked_mentions,
+        "kg_edges": kg_edges,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+_EN = r"\b(the|and|of|to|is|in|that|with)\b"
+_DE = r"\b(der|die|das|und|ist|ein|mit|von)\b"
+_FR = r"\b(le|la|les|et|est|un|une|dans)\b"
+_TOKENS = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   {_REV} AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, {_REV} AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": f"""
+            SELECT n_name, {_REV} AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "top_events": """
+            SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+            FROM events ORDER BY value DESC, event_id LIMIT 20
+        """,
+        "min_order_per_customer": """
+            SELECT o_custkey, CAST(MIN(o_totalprice) AS DOUBLE) AS min_price, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "segment_union": """
+            SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment AS mktsegment,
+                   'customer' AS source
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE), NULL, 'supplier'
+            FROM supplier
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "event_type_sequence": """
+            SELECT user_id, string_agg(event_type, ' ' ORDER BY event_type) AS type_seq
+            FROM events GROUP BY user_id
+        """,
+        "sessionize_events": """
+            SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+            FROM (SELECT user_id,
+                         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "events_daily_cube": """
+            SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n
+            FROM events GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
+        """,
+        "json_props_sum": """
+            SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "brand_revenue_broadcast": f"""
+            SELECT p_brand, {_REV} AS revenue, COUNT(*) AS n_items
+            FROM lineitem, part WHERE l_partkey = p_partkey GROUP BY p_brand
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        "semantic_search_docs": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+                 seg AS (
+                   SELECT doc_id, source,
+                          1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS raw
+                   FROM documents JOIN embeddings ON doc_id = vec_id
+                   WHERE source IN ('src1','src2','src3','src4','src5'))
+            SELECT doc_id, source, ROUND(raw, 4) AS score FROM seg
+            WHERE raw > 0 ORDER BY raw ASC, doc_id LIMIT 15
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+            FROM documents GROUP BY text
+        """,
+        "token_counts_docs": f"""
+            SELECT doc_id, CAST({_TOKENS} AS BIGINT) AS n_tokens FROM documents
+        """,
+        "lang_id_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr) <= 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr) THEN 'en'
+                        WHEN de = greatest(en, de, fr) THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM (SELECT doc_id,
+                         len(regexp_extract_all(lower(text), '{_EN}')) AS en,
+                         len(regexp_extract_all(lower(text), '{_DE}')) AS de,
+                         len(regexp_extract_all(lower(text), '{_FR}')) AS fr
+                  FROM documents)
+        """,
+        "quality_docs": f"""
+            SELECT doc_id, ROUND((len_ok + punct_ok + stop_ok + wlen_ok) / 4.0, 4) AS quality
+            FROM (SELECT doc_id,
+                         CASE WHEN n_chars >= 200 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END AS len_ok,
+                         CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END) <= 0.2
+                              THEN 1.0 ELSE 0.0 END AS punct_ok,
+                         CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.01
+                              THEN 1.0 ELSE 0.0 END AS stop_ok,
+                         CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3.0
+                               AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12.0
+                              THEN 1.0 ELSE 0.0 END AS wlen_ok
+                  FROM (SELECT doc_id,
+                               CAST(length(text) AS DOUBLE) AS n_chars,
+                               CAST({_TOKENS} AS DOUBLE) AS n_tokens,
+                               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+                               CAST(len(regexp_extract_all(lower(text), '{_EN}')) AS DOUBLE) AS n_stop
+                        FROM documents))
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        # minhash_near_dup_docs, simhash_near_dup_docs, ann_topk_embeddings,
+        # kg_triples, kg_linked_mentions, kg_edges: non-SQL-expressible
+        # (LSH banding / iterative components / pandas-UDF sketches) →
+        # rows-only checks by design.
+    }
