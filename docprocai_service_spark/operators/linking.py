@@ -87,7 +87,11 @@ def link_mentions(
     'salted' (shuffle join + window argmax — the beyond-broadcast-size path).
     """
     if strategy == "prereduced":
-        best = reduce_alias_dict(alias_dict)
+        # Materialize the tiny reduced dictionary BEFORE broadcasting: a
+        # BroadcastExchange whose child is a window aggregation stalls for
+        # tens of seconds in AQE planning (observed 30-60s); with the 2-column
+        # dict pinned, the broadcast build is milliseconds.
+        best = reduce_alias_dict(alias_dict).localCheckpoint()
         m = mentions.withColumn("alias", F.lower(F.col("surface")))
         return (
             m.join(F.broadcast(best), "alias", "left")

@@ -111,7 +111,11 @@ def run_pipeline(
             else:
                 df = store.write(name, make())
         else:
-            df = make()
+            # No store: materialize each stage once (localCheckpoint) — the
+            # DAG has multi-consumer stages (triples feeds both mentions and
+            # edge resolution), and re-running the extract UDF per consumer
+            # would dominate wall-clock.
+            df = make().localCheckpoint()
         wall = int((time.time() - t0) * 1000)
         metrics[f"{name}_wall_ms"] = wall
         if collect_lineage:

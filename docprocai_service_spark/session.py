@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4's ICU case mappings trigger CollationAwareUTF8String.<clinit>
+        # on the first lower()/upper() inside a codegen'd stage — observed
+        # 25-45s with all executor threads serialized on the class-init lock.
+        # JVM case mapping is identical for the ASCII join keys used here.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
