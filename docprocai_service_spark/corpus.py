@@ -187,3 +187,110 @@ def corpus_to_spark(spark, corpus: Corpus):
     pages = spark.createDataFrame(corpus.pages, schema=schemas.WEB_PAGES)
     alias = spark.createDataFrame(corpus.alias_dict, schema=schemas.ALIAS_DICT)
     return pages, alias
+
+
+# ---------------------------------------------------------------------------
+# Distributed bench-scale generation. The driver-side make_corpus() is the
+# test oracle path (it also returns ground truth); for throughput benchmarks
+# the corpus itself must be generated on executors — a driver loop would be
+# the bottleneck at bench scale, exactly the per-document-loop mistake the
+# reference makes (service/DocProcAiService.py:694-707). Content is a pure
+# function of (seed, page id): any partitioning yields identical pages, and a
+# near-duplicate of page i re-derives page i-1's sentences from (seed, i-1)
+# without any cross-partition communication.
+# ---------------------------------------------------------------------------
+
+def alias_dict_pdf(n_entities: int = 400) -> pd.DataFrame:
+    names = [entity_name(k) for k in range(n_entities)]
+    prior = _zipf_weights(n_entities)
+    rows = []
+    for k in range(n_entities):
+        rows.append((names[k].lower(), f"E{k:06d}", float(prior[k])))
+        rows.append((names[k].split(" ")[0].lower(), f"E{k:06d}", float(prior[k])))
+    return pd.DataFrame(rows, columns=["alias", "entity_id", "prior"])
+
+
+def _gen_page(i: int, names: list[str], prior: np.ndarray, n_hosts: int, seed: int,
+              min_sents: int, max_sents: int) -> tuple:
+    rng = np.random.default_rng((seed, i))
+    lang = rng.choice(["en", "de", "xx"], p=[0.90, 0.07, 0.03])
+    near_dup = bool(rng.random() < 0.02) and i > 0
+    malformed = bool(rng.random() < 0.05)
+    empty_main = bool(rng.random() < 0.01)
+    if near_dup:
+        # re-derive the previous page's sentence stream (pure function of id)
+        return _render_page(i, _page_sentences(i - 1, names, prior, seed, min_sents, max_sents)[:-1],
+                            "en", n_hosts, malformed, empty_main)
+    if lang == "en":
+        sents = _page_sentences(i, names, prior, seed, min_sents, max_sents)
+    else:
+        words = _DE_WORDS if lang == "de" else _XX_WORDS
+        n = int(rng.integers(min_sents, max_sents))
+        idx = rng.integers(0, len(words), size=(n, 6))
+        sents = [
+            (" ".join(words[w] for w in row[:3]).capitalize() + " " + " ".join(words[w] for w in row[3:]))
+            for row in idx
+        ]
+    return _render_page(i, sents, str(lang), n_hosts, malformed, empty_main)
+
+
+def _page_sentences(i: int, names, prior, seed, min_sents, max_sents) -> list[str]:
+    rng = np.random.default_rng((seed, i, 1))
+    n = int(rng.integers(min_sents, max_sents))
+    sk = rng.choice(len(names), size=n, p=prior)
+    ok = rng.choice(len(names), size=n, p=prior)
+    pi = rng.integers(0, len(PREDICATES), size=n)
+    short = rng.random((n, 2)) < 0.2
+    out = []
+    for j in range(n):
+        s = names[sk[j]].split(" ")[0] if short[j, 0] else names[sk[j]]
+        o = names[ok[j]].split(" ")[0] if short[j, 1] else names[ok[j]]
+        out.append(f"{s} {PREDICATES[pi[j]]} {o}")
+    return out
+
+_FILLER = "<li><a href='/x'>Section link with some description text</a></li>" * 20
+
+
+def _render_page(i, sents, lang, n_hosts, malformed, empty_main):
+    url = f"https://host{i % n_hosts}.example/p/{i}"
+    ts = _BASE_TS + timedelta(seconds=int(i) * 17)
+    paras = "" if empty_main else "\n".join(f"<p>{s}.</p>" for s in sents)
+    main_close = "" if malformed else "</main>"
+    body_close = "" if malformed else "</body></html>"
+    html = (
+        "<!DOCTYPE html><html><head><title>page</title>"
+        "<script>var x=1; function f(){return 'tracker';}</script>"
+        "<style>p{color:red} .nav{display:flex}</style></head><body>"
+        f"<nav><ul>{_FILLER}</ul></nav>"
+        "<header><h1>Host news</h1></header>"
+        f"<main>{paras}{main_close}"
+        f"<footer>&copy; 2025 example &amp; co{_FILLER}</footer>"
+        f"{body_close}"
+    )
+    return (url, ts, html.encode("utf-8"), None, lang)
+
+
+def distributed_pages(spark, n_pages: int, n_entities: int = 400, n_hosts: int = 1000,
+                      seed: int = 42, min_sents: int = 20, max_sents: int = 60,
+                      partitions: int | None = None):
+    """Executor-side page generation: spark.range → mapInPandas (Arrow batches)."""
+    from . import schemas
+
+    names = [entity_name(k) for k in range(n_entities)]
+    prior = _zipf_weights(n_entities)
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                _gen_page(int(i), names, prior, n_hosts, seed, min_sents, max_sents)
+                for i in pdf["id"]
+            ]
+            out = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+            yield out
+
+    return (
+        spark.range(0, n_pages, numPartitions=partitions)
+        .mapInPandas(gen, schema=schemas.WEB_PAGES)
+    )

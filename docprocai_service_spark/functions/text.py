@@ -87,6 +87,10 @@ _RE_SENT_SPLIT = re.compile(SENT_SPLIT_REGEX)
 TRIPLE_REGEX = rf"^(.+?) ({_PRED_ALT}) (.+?)\.?$"
 _RE_TRIPLE = re.compile(TRIPLE_REGEX)
 
+# Leftmost space-delimited predicate — the single-scan variant the Spark
+# stage uses (one regexp_extract + split instead of three full matches).
+PRED_SCAN_REGEX = rf" ({_PRED_ALT}) "
+
 
 # ------------------------------------------------- scalar (oracle) path
 def extract_text_str(html: bytes | str | None) -> str | None:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import SENT_SPLIT_REGEX, TRIPLE_REGEX
+from ..functions.text import PRED_SCAN_REGEX, SENT_SPLIT_REGEX
 
 
 def sentences_stage(extracted: DataFrame) -> DataFrame:
@@ -45,17 +45,30 @@ def sentences_stage(extracted: DataFrame) -> DataFrame:
 
 
 def triples_stage(extracted: DataFrame) -> DataFrame:
-    """extracted_text → triples(subj, pred, obj, url, warc_ts, sent_no)."""
+    """extracted_text → triples(subj, pred, obj, url, warc_ts, sent_no).
+
+    One regex match per sentence (leftmost ' pred ' occurrence), then a
+    2-limit split on the matched predicate — semantically identical to
+    matching TRIPLE_REGEX three times but ~3× cheaper, and the regex engine
+    only scans each sentence once. Exactness vs the oracle is asserted by
+    tests/test_triples.py on every corpus shape.
+    """
     s = sentences_stage(extracted)
-    parsed = s.select(
-        F.regexp_extract("sentence", TRIPLE_REGEX, 1).alias("subj"),
-        F.regexp_extract("sentence", TRIPLE_REGEX, 2).alias("pred"),
-        F.regexp_extract("sentence", TRIPLE_REGEX, 3).alias("obj"),
-        "url",
-        "warc_ts",
-        "sent_no",
+    parsed = (
+        s.withColumn("pred", F.regexp_extract("sentence", PRED_SCAN_REGEX, 1))
+        .filter(F.col("pred") != "")
+        .withColumn("__parts", F.expr("split(sentence, concat(' ', pred, ' '), 2)"))
+        .select(
+            F.col("__parts")[0].alias("subj"),
+            "pred",
+            F.regexp_replace(F.col("__parts")[1], r"\.$", "").alias("obj"),
+            "url",
+            "warc_ts",
+            "sent_no",
+        )
+        .filter((F.col("subj") != "") & (F.col("obj") != ""))
     )
-    return parsed.filter(F.col("pred") != "")
+    return parsed
 
 
 def mentions_stage(triples: DataFrame) -> DataFrame:
