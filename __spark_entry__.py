@@ -190,6 +190,25 @@ def events_daily_cube(spark, sf_dir):
     return e.cube("d", "event_type").agg(F.count("*").alias("n"))
 
 
+def hourly_event_stats(spark, sf_dir):
+    """Event-time tumbling window (§2.9 — absent in the reference, free in
+    Spark; the batch shape of a Structured Streaming windowed agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def json_props_sum(spark, sf_dir):
     """JSON parse scalar function (§2.8 — reference LLM IO JSON handling)."""
     e = _t(spark, sf_dir, "events")
@@ -383,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_sequence": event_type_sequence,
         "sessionize_events": sessionize_events,
         "events_daily_cube": events_daily_cube,
+        "hourly_event_stats": hourly_event_stats,
         "json_props_sum": json_props_sum,
         "brand_revenue_broadcast": brand_revenue_broadcast,
         "cosine_topk": cosine_topk,
@@ -485,6 +505,12 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_cube": """
             SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n
             FROM events GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
+        """,
+        "hourly_event_stats": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "json_props_sum": """
             SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,171 @@
+"""Multimodal binary-column operators: decode / feature-extract / resize /
+frame-sample over opaque image/audio/video bytes with typed metadata.
+
+The reference does all of this per document with external tools — pdf2image
+rasterization (fileextractlib/PdfProcessor.py:34), ffmpeg audio extraction
+(fileextractlib/TranscriptGenerator.py:42-55), ffmpeg frame grabs + BMP
+demuxing (fileextractlib/VideoProcessor.py:46-81), PIL contrast enhancement
+(fileextractlib/VideoProcessor.py:133-135), JPEG re-encode at q93
+(service/DocProcAiService.py:123-124). Here the Spark-side plumbing — schema,
+Arrow batch shape, mapInPandas signatures, partition behavior — is real and
+tested; the actual codec calls are stubbed (this container has no image/audio
+libraries) behind STUB markers:
+
+  * decode_image / sample_frames raise NotImplementedError when
+    `codec="real"` is requested, and default to a deterministic fake decoder
+    (bytes → seeded uint8 array of the metadata's declared dimensions) so
+    every downstream op (resize, features) runs on real array data.
+  * byte-level features (size, entropy, xxhash-like digest) are REAL — they
+    need no codec and are exactly what web-scale pipelines use for cheap
+    pre-filters before expensive GPU decode.
+
+At 100 TB: media bytes stay in `binary` columns and are only materialized
+inside the Arrow batch being processed (mapInPandas streams batches, bounded
+by spark.sql.execution.arrow.maxRecordsPerBatch); metadata lives in a typed
+struct so filters (mime, width) prune BEFORE any decode.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def _fake_decode(content: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for a real image codec: seeds a PCG64 stream
+    from the byte content's crc32 → (h, w) uint8 luma plane. STUB — replace
+    with e.g. cv2.imdecode on a cluster image."""
+    rng = np.random.default_rng(zlib.crc32(content))
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def decode_image_features(media: DataFrame, codec: str = "stub") -> DataFrame:
+    """media → (media_id, mean_luma, std_luma, phash64): decode + extract.
+
+    mapInPandas: one Arrow batch in, one out; the binary column never leaves
+    the executor. phash64 is an 8×8 mean-threshold perceptual hash over the
+    (fake-)decoded plane — deterministic, so golden-testable.
+    """
+    if codec == "real":
+        raise NotImplementedError("no image codec in this container — STUB only")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "mean_luma": [], "std_luma": [], "phash64": []}
+            for _, row in pdf.iterrows():
+                h = int(row["height"] or 32)
+                w = int(row["width"] or 32)
+                img = _fake_decode(row["content"], h, w)
+                # 8x8 block means -> threshold at global mean -> 64-bit hash
+                bh, bw = max(h // 8, 1), max(w // 8, 1)
+                blocks = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+                bits = (blocks > blocks.mean()).flatten()
+                ph = int(sum(1 << i for i in range(64) if bits[i]))
+                out["media_id"].append(row["media_id"])
+                out["mean_luma"].append(float(img.mean()))
+                out["std_luma"].append(float(img.std()))
+                out["phash64"].append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        extract,
+        schema="media_id string, mean_luma double, std_luma double, phash64 long",
+    )
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int, codec: str = "stub") -> DataFrame:
+    """media → (media_id, pixels array<int>): decode + nearest-neighbor resize.
+
+    The resize itself is real numpy (runs on the fake-decoded plane); swap the
+    decoder to make it production. Demonstrates binary→array columnar output.
+    """
+    if codec == "real":
+        raise NotImplementedError("no image codec in this container — STUB only")
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for _, row in pdf.iterrows():
+                h = int(row["height"] or 32)
+                w = int(row["width"] or 32)
+                img = _fake_decode(row["content"], h, w)
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                ids.append(row["media_id"])
+                pix.append(img[np.ix_(yi, xi)].flatten().astype("int32").tolist())
+            yield pd.DataFrame({"media_id": ids, "pixels": pix})
+
+    return media.mapInPandas(rz, schema="media_id string, pixels array<int>")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, codec: str = "stub") -> DataFrame:
+    """video rows → one row per sampled frame (media_id, frame_no, ts_ms,
+    frame_crc): the ffmpeg `select`-filter frame grab
+    (reference: fileextractlib/VideoProcessor.py:46-81) as a flatMap-shaped
+    mapInPandas. Frame bytes are deterministic slices of the content blob
+    (STUB for a real demuxer); the per-frame crc is real."""
+    if codec == "real":
+        raise NotImplementedError("no video demuxer in this container — STUB only")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "ts_ms": [], "frame_crc": []}
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"] or 0)
+                blob = row["content"]
+                n = max(dur // every_ms, 1)
+                for k in range(n):
+                    lo = (k * len(blob)) // n
+                    hi = ((k + 1) * len(blob)) // n
+                    out["media_id"].append(row["media_id"])
+                    out["frame_no"].append(k)
+                    out["ts_ms"].append(k * every_ms)
+                    out["frame_crc"].append(zlib.crc32(blob[lo:hi]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        frames, schema="media_id string, frame_no int, ts_ms long, frame_crc long"
+    )
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """Codec-free byte-level features (REAL, not stubbed): size + entropy +
+    crc — the cheap pre-filter columns a 100 TB media pipeline computes before
+    any GPU decode. Pure JVM where possible (length/crc32), entropy in Arrow."""
+
+    @F.pandas_udf(T.DoubleType())
+    def entropy(content: pd.Series) -> pd.Series:
+        out = np.empty(len(content))
+        for i, b in enumerate(content):
+            if not b:
+                out[i] = 0.0
+                continue
+            counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(b)
+            out[i] = float(-(p * np.log2(p)).sum())
+        return pd.Series(out)
+
+    return media.select(
+        "media_id",
+        "mime",
+        F.length("content").alias("n_bytes"),
+        F.crc32("content").alias("crc"),
+        entropy(F.col("content")).alias("byte_entropy"),
+    )

@@ -1,0 +1,70 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docprocai_service_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    byte_stats,
+    decode_image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (f"m{i}", "image/jpeg" if i % 2 == 0 else "video/mp4",
+         16 + i, 24 + i, 5000 if i % 2 else None,
+         bytes([(i * 7 + j) % 256 for j in range(400)]))
+        for i in range(12)
+    ]
+    # video rows: duration set, image rows: none
+    rows = [
+        (mid, mime, w, h, (5000 if mime.startswith("video") else None), content)
+        for (mid, mime, w, h, _d, content) in rows
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).localCheckpoint()
+
+
+def test_decode_features_shape_and_determinism(spark, media):
+    imgs = media.filter(F.col("mime").startswith("image"))
+    a = sorted(map(tuple, decode_image_features(imgs).collect()))
+    b = sorted(map(tuple, decode_image_features(imgs.repartition(5)).collect()))
+    assert a == b  # partitioning-invariant
+    assert len(a) == imgs.count()
+    for _, mean_luma, std_luma, ph in a:
+        assert 0 <= mean_luma <= 255 and std_luma >= 0 and isinstance(ph, int)
+
+
+def test_resize_output_dims(spark, media):
+    out = resize_images(media.limit(3), out_h=4, out_w=6).collect()
+    assert all(len(r["pixels"]) == 24 for r in out)
+
+
+def test_frame_sampling_fanout(spark, media):
+    vids = media.filter(F.col("mime").startswith("video"))
+    frames = sample_frames(vids, every_ms=1000)
+    per = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in per.values())  # 5000ms / 1000ms
+    # frame timestamps aligned and crc real
+    one = frames.filter(F.col("frame_no") == 2).first()
+    assert one["ts_ms"] == 2000 and one["frame_crc"] >= 0
+
+
+def test_byte_stats_real_values(spark, media):
+    st = byte_stats(media).collect()
+    assert all(r["n_bytes"] == 400 for r in st)
+    assert all(0.0 <= r["byte_entropy"] <= 8.0 for r in st)
+
+
+def test_real_codec_is_explicitly_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, codec="real")
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, codec="real")
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 4, 4, codec="real")
