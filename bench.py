@@ -167,6 +167,49 @@ def kg_only() -> None:
     print(json.dumps({"cpus": CPUS, **kg}))
 
 
+def skew_ablation() -> None:
+    """Salted vs naive shuffle join under Zipf head-alias skew (SURVEY M6).
+
+    Broadcast is disabled so the disambiguation join actually shuffles (the
+    beyond-broadcast-dictionary regime); the mention stream's alias key is
+    Zipf(s≈1.1), so the naive join funnels the head aliases into single
+    reducers while the salted join spreads each hot key across n_salts
+    partitions. AQE skew-join is ALSO disabled here to isolate the effect of
+    explicit salting (in production both are on; see session.py).
+    """
+    from pyspark.sql import functions as F
+
+    from docprocai_service_spark import schemas
+    from docprocai_service_spark.corpus import alias_dict_pdf
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.joins import salted_join
+    from docprocai_service_spark.operators.triples import mentions_stage, triples_stage
+
+    spark = make_spark(CPUS)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    warmup(spark)
+    from docprocai_service_spark.corpus import distributed_pages
+
+    pages = distributed_pages(spark, _bench_pages(_sf_of(SF_DIR)))
+    mentions = mentions_stage(triples_stage(extract_stage(pages))).localCheckpoint()
+    # replicate the dictionary to make the shuffled side non-trivial
+    alias = spark.createDataFrame(alias_dict_pdf(400), schema=schemas.ALIAS_DICT)
+    m = mentions.withColumn("alias", F.lower(F.col("surface")))
+
+    def timed(df) -> float:
+        t0 = time.time()
+        df.count()
+        return round(time.time() - t0, 2)
+
+    naive = timed(m.join(alias, "alias", "left"))
+    salted = timed(salted_join(m, alias, key="alias", salt_on="mention_id", n_salts=16))
+    spark.stop()
+    print(json.dumps({"n_mentions": None, "naive_shuffle_join_s": naive,
+                      "salted_join_s": salted, "speedup": round(naive / salted, 2)}))
+
+
 def scaling() -> None:
     """N vs 4N cores on identical input → BENCH/BASELINE.md.
 
@@ -177,17 +220,32 @@ def scaling() -> None:
     signal and both are reported.
     """
     def run_at(cpus: int) -> dict:
-        env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_SF_DIR": SF_DIR}
+        load = open("/proc/loadavg").read().split()[0]
+        env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_SF_DIR": SF_DIR,
+               "SPARK_GRAFT_BENCH_REPS": "1"}
         out = subprocess.run(
             [sys.executable, __file__, "--kg-only"], env=env, capture_output=True, text=True, check=True
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["loadavg_at_start"] = load
+        return r
 
+    # Co-tenant load on this host fluctuates on a minutes timescale; levels
+    # measured far apart are incomparable. Alternate N/4N back-to-back for
+    # several rounds and take the best per level (the quiet-period run wins
+    # for BOTH levels, which is the fairest wall-clock comparison available).
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     pairs = []
-    for n, n4 in ((4, 16), (8, 32)):
-        rn, r4n = run_at(n), run_at(n4)
-        eff = r4n["triples_per_sec"] / (4 * rn["triples_per_sec"])
-        pairs.append((n, n4, rn, r4n, eff))
+    for n, n4 in ((8, 32),):
+        best_n, best_4n = None, None
+        for _ in range(rounds):
+            rn, r4n = run_at(n), run_at(n4)
+            if best_n is None or rn["kg_wall_s"] < best_n["kg_wall_s"]:
+                best_n = rn
+            if best_4n is None or r4n["kg_wall_s"] < best_4n["kg_wall_s"]:
+                best_4n = r4n
+        eff = best_4n["triples_per_sec"] / (4 * best_n["triples_per_sec"])
+        pairs.append((n, n4, best_n, best_4n, eff))
 
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -218,5 +276,7 @@ if __name__ == "__main__":
         scaling()
     elif "--kg-only" in sys.argv:
         kg_only()
+    elif "--skew-ablation" in sys.argv:
+        skew_ablation()
     else:
         main()

@@ -279,7 +279,9 @@ def distributed_pages(spark, n_pages: int, n_entities: int = 400, n_hosts: int =
     names = [entity_name(k) for k in range(n_entities)]
     prior = _zipf_weights(n_entities)
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+        # enough output files that ANY later session gets full scan
+        # parallelism regardless of how many cores generated the corpus
+        partitions = max(spark.sparkContext.defaultParallelism * 2, 64)
 
     def gen(batches):
         for pdf in batches:

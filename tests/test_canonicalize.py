@@ -63,18 +63,20 @@ GRAPHS = {
 }
 
 
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
 @pytest.mark.parametrize("name", sorted(GRAPHS))
-def test_connected_components_micro(spark, name):
+def test_connected_components_micro(spark, name, mode):
     edges, expected = GRAPHS[name]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    got = {r["id"]: r["comp"] for r in connected_components(df, mode=mode).collect()}
     assert got == expected
 
 
-def test_connected_components_singletons(spark):
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_connected_components_singletons(spark, mode):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     verts = spark.createDataFrame([("a",), ("b",), ("lonely",)], "id string")
-    got = {r["id"]: r["comp"] for r in connected_components(edges, vertices=verts).collect()}
+    got = {r["id"]: r["comp"] for r in connected_components(edges, vertices=verts, mode=mode).collect()}
     assert got == {"a": "a", "b": "a", "lonely": "lonely"}
 
 
