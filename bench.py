@@ -52,6 +52,9 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _bench_pages(sf: float) -> int:
+    env = os.environ.get("SPARK_GRAFT_BENCH_PAGES")
+    if env:
+        return int(env)
     return max(500, int(200_000 * sf))
 
 
@@ -108,7 +111,8 @@ def run_kg(spark, n_pages: int, corpus_dir: str | None = None) -> dict:
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
         t0 = time.time()
         r = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
-        n_edges = r.edges.count()  # forces the full DAG
+        n_edges = r.edges.count()  # forces extract→triples→canon→edges
+        r.linked.count()  # linked-mentions output is a pipeline deliverable too
         n_triples = r.metrics["n_triples"]
         wall = time.time() - t0
         if best is None or wall < best["kg_wall_s"]:
@@ -230,13 +234,35 @@ def scaling() -> None:
         r["loadavg_at_start"] = load
         return r
 
+    # Hardware calibration: this sandbox exposes 32 vCPUs = 16 physical cores
+    # + SMT. A pure busy-loop (no Spark) measures the aggregate-compute
+    # ceiling per pair; the engine cannot exceed it, so pairs inside the
+    # physical-core budget are the honest N-vs-4N executor stand-in (on a
+    # real cluster 4N executors means 4N physical cores).
+    ceilings = {}
+    import multiprocessing as mp
+
+    def _burn(_):
+        t0 = time.time()
+        x = 0
+        while time.time() - t0 < 2:
+            x += 1
+        return x
+
+    def _agg(n: int) -> float:
+        with mp.Pool(n) as p:
+            return sum(p.map(_burn, range(n)))
+
     # Co-tenant load on this host fluctuates on a minutes timescale; levels
     # measured far apart are incomparable. Alternate N/4N back-to-back for
     # several rounds and take the best per level (the quiet-period run wins
     # for BOTH levels, which is the fairest wall-clock comparison available).
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    pair_list = ((2, 8), (4, 16), (8, 32))
+    for n, n4 in pair_list:
+        ceilings[(n, n4)] = round(_agg(n4) / (4 * _agg(n)), 3)
     pairs = []
-    for n, n4 in ((8, 32),):
+    for n, n4 in pair_list:
         best_n, best_4n = None, None
         for _ in range(rounds):
             rn, r4n = run_at(n), run_at(n4)
@@ -250,23 +276,30 @@ def scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH — two-parallelism-level scaling runs (sandbox protocol)\n",
-        "Identical KG job (extract → triples → link → canonicalize → edges)",
-        f"on the same deterministic parquet corpus ({pairs[0][2]['n_pages']} pages,",
-        f"{pairs[0][2]['n_triples']} triples, seed=42), fresh JVM per level,",
-        "best of 2 measured iterations after a full-DAG warm-up run",
-        "(N vs 4N executor stand-in per BASELINE.md; host cores are shared",
-        "with co-tenant sandboxes, so the smaller pair is the cleaner signal).\n",
-        "| N cores | 4N cores | triples/s @N | triples/s @4N | efficiency |",
-        "|---|---|---|---|---|",
+        "Identical KG job (extract → triples → link → canonicalize → edges +",
+        "linked-mentions) on the same deterministic parquet corpus",
+        f"({pairs[0][2]['n_pages']} pages, {pairs[0][2]['n_triples']} triples, seed=42),",
+        f"fresh JVM per level, best of {rounds} alternating rounds after a",
+        "full-DAG warm-up run (N vs 4N executor stand-in per BASELINE.md).\n",
+        "**Hardware calibration**: the sandbox exposes 32 vCPUs = 16 physical",
+        "cores + SMT, shared with bursty co-tenant sandboxes. The 'hw ceiling'",
+        "column is the measured aggregate-compute ratio of a pure busy-loop",
+        "(no Spark) at the same core counts — the maximum ANY job can score;",
+        "pairs within the physical-core budget are the honest cluster",
+        "stand-in (4N executors on a real cluster means 4N physical cores).\n",
+        "| N | 4N | triples/s @N | triples/s @4N | efficiency | hw ceiling | eff/ceiling |",
+        "|---|---|---|---|---|---|---|",
     ]
     for n, n4, rn, r4n, eff in pairs:
+        ceil = ceilings[(n, n4)]
         lines.append(
-            f"| {n} | {n4} | {rn['triples_per_sec']} | {r4n['triples_per_sec']} | **{eff:.3f}** |"
+            f"| {n} | {n4} | {rn['triples_per_sec']} | {r4n['triples_per_sec']} "
+            f"| **{eff:.3f}** | {ceil:.3f} | {eff / ceil:.3f} |"
         )
     lines.append("\nefficiency = rate(4N) / (4 × rate(N)); target ≥ 0.8 per BASELINE.json.\n")
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps([{ "n": n, "n4": n4, "eff": round(eff, 3),
+    print(json.dumps([{ "n": n, "n4": n4, "eff": round(eff, 3), "ceiling": ceilings[(n, n4)],
                         "rate_n": rn["triples_per_sec"], "rate_4n": r4n["triples_per_sec"]}
                       for n, n4, rn, r4n, eff in pairs]))
 

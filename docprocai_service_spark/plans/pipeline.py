@@ -111,11 +111,14 @@ def run_pipeline(
             else:
                 df = store.write(name, make())
         else:
-            # No store: materialize each stage once (localCheckpoint) — the
-            # DAG has multi-consumer stages (triples feeds both mentions and
-            # edge resolution), and re-running the extract UDF per consumer
-            # would dominate wall-clock.
-            df = make().localCheckpoint()
+            # No store: materialize ONLY the multi-consumer stages (triples
+            # feeds mentions + edge resolution; canon_map feeds resolution +
+            # entities). Single-consumer stages stay lazy so e.g. extract
+            # fuses into the triples pass — one scan over the html bytes
+            # instead of a materialize-then-rescan.
+            df = make()
+            if name in ("triples", "canon_map"):
+                df = df.localCheckpoint()
         wall = int((time.time() - t0) * 1000)
         metrics[f"{name}_wall_ms"] = wall
         if collect_lineage:
