@@ -171,6 +171,15 @@ def kg_only() -> None:
     print(json.dumps({"cpus": CPUS, **kg}))
 
 
+def _burn_2s(_):
+    """Module-level (picklable) busy loop for the hardware-ceiling probe."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2:
+        x += 1
+    return x
+
+
 def skew_ablation() -> None:
     """Salted vs naive shuffle join under Zipf head-alias skew (SURVEY M6).
 
@@ -227,9 +236,14 @@ def scaling() -> None:
         load = open("/proc/loadavg").read().split()[0]
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_SF_DIR": SF_DIR,
                "SPARK_GRAFT_BENCH_REPS": "1"}
-        out = subprocess.run(
-            [sys.executable, __file__, "--kg-only"], env=env, capture_output=True, text=True, check=True
-        )
+        # Pin the WHOLE process tree (JVM task threads + Python UDF workers +
+        # GC) to exactly N CPUs. local[N] alone only caps concurrent tasks —
+        # Arrow UDF workers are separate processes, so an unpinned local[N]
+        # job consumes up to ~2N cores, inflating small-N rates and
+        # oversubscribing at N=32. taskset makes each level an honest
+        # "N-core executor".
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__, "--kg-only"]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         r = json.loads(out.stdout.strip().splitlines()[-1])
         r["loadavg_at_start"] = load
         return r
@@ -242,16 +256,9 @@ def scaling() -> None:
     ceilings = {}
     import multiprocessing as mp
 
-    def _burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 2:
-            x += 1
-        return x
-
     def _agg(n: int) -> float:
         with mp.Pool(n) as p:
-            return sum(p.map(_burn, range(n)))
+            return sum(p.map(_burn_2s, range(n)))
 
     # Co-tenant load on this host fluctuates on a minutes timescale; levels
     # measured far apart are incomparable. Alternate N/4N back-to-back for
