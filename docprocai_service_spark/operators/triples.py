@@ -33,13 +33,19 @@ def sentences_stage(extracted: DataFrame) -> DataFrame:
     Only lang='en' rows enter (dispatch analog of
     reference: fileextractlib/DocumentProcessor.py:25-30); empty fragments are
     dropped BEFORE numbering so sent_no matches the oracle.
+
+    NULL-text pages need no explicit filter: split(NULL)→NULL and
+    posexplode(NULL) emits zero rows. An isNotNull(text) predicate here would
+    be pushed by Catalyst below the extract projection, substituting — and
+    thus evaluating — the Arrow extract UDF a second time per page (observed
+    as two ArrowEvalPython nodes in the plan; tests/test_plans.py pins one).
     """
     sents = F.filter(
         F.split(F.col("text"), SENT_SPLIT_REGEX),
         lambda x: x != F.lit(""),
     )
     return (
-        extracted.filter((F.col("lang") == "en") & F.col("text").isNotNull())
+        extracted.filter(F.col("lang") == "en")
         .select("url", "warc_ts", F.posexplode(sents).alias("sent_no", "sentence"))
     )
 

@@ -102,6 +102,11 @@ def run_pipeline(
             )
         return _covered[0]
 
+    # DAG order; a stage that is recomputed invalidates everything downstream
+    # so a crash between stage overwrites cannot resume a stale later stage
+    # (its _SUCCESS+manifest from the previous run would otherwise look done).
+    _STAGE_ORDER = ["extracted", "triples", "mentions", "linked", "canon_map", "edges", "entities"]
+
     def run_stage(name: str, make, key_cols: list[str], rows_in: int = -1) -> DataFrame:
         t0 = time.time()
         if store is not None:
@@ -109,6 +114,9 @@ def run_pipeline(
                 df = store.read(name)
                 metrics[f"{name}_resumed"] = True
             else:
+                for downstream in _STAGE_ORDER[_STAGE_ORDER.index(name) + 1:]:
+                    if store.is_done(downstream):
+                        store.invalidate(downstream)
                 df = store.write(name, make())
         else:
             # No store: materialize ONLY the multi-consumer stages (triples

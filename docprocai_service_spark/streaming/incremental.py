@@ -40,11 +40,17 @@ def incremental_ingest(
     if n_new == 0:
         return {"new_pages": 0}
     extracted = extract_stage(todo).localCheckpoint()
-    store.append_new("extracted", extracted, keys=KEYS)
+    # The 'extracted' stage is the re-delivery ledger (todo_keys above), so it
+    # must commit LAST: a crash after committing it but before the downstream
+    # appends would make retries see n_new==0 and silently never write those
+    # pages' triples/mentions. Committing downstream first keeps at-least-once:
+    # a crash anywhere re-runs the page, and each append_new anti-joins away
+    # rows already present (page keys for triples, mention_id for mentions).
     triples = triples_stage(extracted).localCheckpoint()
     store.append_new("triples", triples, keys=KEYS)
     mentions = mentions_stage(triples)
     store.append_new("mentions", mentions, keys=["mention_id"])
+    store.append_new("extracted", extracted, keys=KEYS)
     return {"new_pages": n_new, "new_triples": triples.count()}
 
 

@@ -91,6 +91,64 @@ def test_incremental_ingest_appends_only_new_keys(spark, spark_corpus, tmp_path)
     assert got == want
 
 
+def test_incremental_crash_between_stages_recovers(spark, spark_corpus, tmp_path):
+    """At-least-once across a crash AFTER the triples append but BEFORE the
+    mentions/extracted appends: the retry must still see the pages as todo
+    (the 'extracted' ledger commits last) and converge with no duplicates."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "crash"))
+    batch = pages.limit(60).localCheckpoint()
+
+    real_append = StageStore.append_new
+
+    def crashing_append(self, stage, df, keys):
+        if stage == "mentions":
+            raise RuntimeError("simulated crash between stage commits")
+        return real_append(self, stage, df, keys=keys)
+
+    StageStore.append_new = crashing_append
+    try:
+        with pytest.raises(RuntimeError):
+            incremental_ingest(spark, batch, store)
+    finally:
+        StageStore.append_new = real_append
+
+    # triples committed, but the ledger did not — retry must re-process
+    assert store.is_done("triples")
+    assert not store.is_done("extracted")
+    m = incremental_ingest(spark, batch, store)
+    assert m["new_pages"] == 60  # NOT silently skipped
+    # no duplicate triples, and every downstream stage completed
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.triples import triples_stage
+
+    cols = ["subj", "pred", "obj", "url", "warc_ts", "sent_no"]
+    want = sorted(map(tuple, triples_stage(extract_stage(batch)).select(*cols).collect()))
+    got = sorted(map(tuple, store.read("triples").select(*cols).collect()))
+    assert got == want
+    assert store.is_done("mentions") and store.is_done("extracted")
+    # re-delivery after full recovery is a no-op
+    assert incremental_ingest(spark, batch, store)["new_pages"] == 0
+
+
+def test_recompute_invalidates_downstream_stages(spark, spark_corpus, tmp_path):
+    """ADVICE: a stage overwrite must invalidate downstream manifests so a
+    crash between stage overwrites cannot resume stale later stages."""
+    pages, alias = spark_corpus
+    d = str(tmp_path / "inval")
+    r1 = run_pipeline(spark, pages, alias, out_dir=d)
+    key1 = _edges_key(r1.edges)  # collect eagerly: r2 overwrites the files
+    store = StageStore(spark, d)
+    # torn write upstream: triples missing, downstream manifests still present
+    store.invalidate("triples")
+    r2 = run_pipeline(spark, pages, alias, out_dir=d)
+    # triples recomputed — and NOTHING downstream of it resumed stale output
+    for s in ["triples", "mentions", "linked", "canon_map", "edges", "entities"]:
+        assert f"{s}_resumed" not in r2.metrics, s
+    assert r2.metrics.get("extracted_resumed")
+    assert key1 == _edges_key(r2.edges)
+
+
 def test_streaming_ingest_available_now(spark, spark_corpus, tmp_path):
     from docprocai_service_spark.streaming.incremental import streaming_ingest
 
