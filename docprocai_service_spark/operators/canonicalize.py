@@ -104,6 +104,23 @@ def similarity_edges(
     return scored.filter(F.col("sim") >= threshold).select("src", "dst", "sim")
 
 
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """localCheckpoint is the local[N] fast path, but it stores blocks
+    non-replicated on executors — on a real cluster a lost executor kills the
+    job (lineage is gone, so no recompute). With reliable=True the blocks go
+    to the configured checkpoint dir (sc.setCheckpointDir — HDFS/S3 on a
+    cluster) and survive executor loss."""
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable checkpointing requested but no checkpoint dir set; "
+                "call spark.sparkContext.setCheckpointDir(...) first"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -111,6 +128,8 @@ def connected_components(
     checkpoint_every: int = 1,
     mode: str = "auto",
     driver_threshold: int = 200_000,
+    reliable_checkpoint: bool = False,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """Undirected connected components → (id, comp) with comp = MIN(id) in component.
 
@@ -140,9 +159,10 @@ def connected_components(
     if vertices is None:
         vertices = sym.select(F.col("src").alias("id")).distinct()
     vertices = vertices.select("id")
-    labels = vertices.select("id", F.col("id").alias("comp")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    labels = _truncate_lineage(vertices.select("id", F.col("id").alias("comp")), reliable_checkpoint)
+    sym = _truncate_lineage(sym, reliable_checkpoint)
 
+    changed = -1
     for i in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.id)
@@ -155,7 +175,7 @@ def connected_components(
             .select("id", F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = _truncate_lineage(new_labels, reliable_checkpoint)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -166,6 +186,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent non-convergence = silently WRONG components (labels still
+        # propagating when the loop ran out). Plausible for long transitive
+        # near-duplicate chains whose diameter exceeds max_iter.
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} rounds "
+            "(labels still changing); components are incorrect. Raise max_iter "
+            "or switch to a large-star/small-star formulation (O(log n) rounds)."
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

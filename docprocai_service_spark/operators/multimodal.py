@@ -69,16 +69,23 @@ def decode_image_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "mean_luma": [], "std_luma": [], "phash64": []}
-            for _, row in pdf.iterrows():
-                h = int(row["height"] or 32)
-                w = int(row["width"] or 32)
-                img = _fake_decode(row["content"], h, w)
+            # zip over columns, not iterrows (which builds a Series per row)
+            for media_id, height, width, content in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["content"]
+            ):
+                h = int(height or 32)
+                w = int(width or 32)
+                img = _fake_decode(content, h, w)
+                if h < 8 or w < 8:
+                    # tiny images: tile up to 8×8 so the block reshape is valid
+                    img = np.resize(img, (max(h, 8), max(w, 8)))
+                    h, w = img.shape
                 # 8x8 block means -> threshold at global mean -> 64-bit hash
                 bh, bw = max(h // 8, 1), max(w // 8, 1)
                 blocks = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
                 bits = (blocks > blocks.mean()).flatten()
                 ph = int(sum(1 << i for i in range(64) if bits[i]))
-                out["media_id"].append(row["media_id"])
+                out["media_id"].append(media_id)
                 out["mean_luma"].append(float(img.mean()))
                 out["std_luma"].append(float(img.std()))
                 out["phash64"].append(ph - (1 << 64) if ph >= (1 << 63) else ph)
@@ -102,13 +109,15 @@ def resize_images(media: DataFrame, out_h: int, out_w: int, codec: str = "stub")
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, pix = [], []
-            for _, row in pdf.iterrows():
-                h = int(row["height"] or 32)
-                w = int(row["width"] or 32)
-                img = _fake_decode(row["content"], h, w)
+            for media_id, height, width, content in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["content"]
+            ):
+                h = int(height or 32)
+                w = int(width or 32)
+                img = _fake_decode(content, h, w)
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                ids.append(row["media_id"])
+                ids.append(media_id)
                 pix.append(img[np.ix_(yi, xi)].flatten().astype("int32").tolist())
             yield pd.DataFrame({"media_id": ids, "pixels": pix})
 
@@ -127,14 +136,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, codec: str = "stub") -
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_no": [], "ts_ms": [], "frame_crc": []}
-            for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"] or 0)
-                blob = row["content"]
+            for media_id, duration_ms, blob in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["content"]
+            ):
+                dur = int(duration_ms or 0)
                 n = max(dur // every_ms, 1)
                 for k in range(n):
                     lo = (k * len(blob)) // n
                     hi = ((k + 1) * len(blob)) // n
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(media_id)
                     out["frame_no"].append(k)
                     out["ts_ms"].append(k * every_ms)
                     out["frame_crc"].append(zlib.crc32(blob[lo:hi]))

@@ -80,6 +80,34 @@ def test_connected_components_singletons(spark, mode):
     assert got == {"a": "a", "b": "a", "lonely": "lonely"}
 
 
+def test_components_unconverged_raises(spark):
+    """ADVICE: exceeding max_iter must not return silently-wrong labels."""
+    edges, expected = GRAPHS["chain"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, mode="distributed", max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(df, mode="distributed", max_iter=1, on_unconverged="warn")
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    """Cluster-safe path: checkpoint() to a reliable dir instead of
+    localCheckpoint (which dies with a lost executor)."""
+    edges, expected = GRAPHS["two_cliques_bridged"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        connected_components(df, mode="distributed", reliable_checkpoint=True)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(df, mode="distributed", reliable_checkpoint=True).collect()
+        }
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert got == expected
+
+
 def test_lsh_recall_on_planted_pairs(spark, spark_corpus, corpus):
     _, alias = spark_corpus
     names = alias.groupBy("entity_id").agg(F.max_by("alias", F.length("alias")).alias("name"))

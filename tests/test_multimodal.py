@@ -40,6 +40,19 @@ def test_decode_features_shape_and_determinism(spark, media):
         assert 0 <= mean_luma <= 255 and std_luma >= 0 and isinstance(ph, int)
 
 
+def test_decode_features_tiny_images(spark, media):
+    """ADVICE: declared dims < 8 must not crash the block reshape."""
+    tiny = spark.createDataFrame(
+        [("t1", "image/jpeg", 4, 3, None, b"\x01\x02\x03"),
+         ("t2", "image/jpeg", 1, 1, None, b"\xff"),
+         ("t3", "image/jpeg", 7, 20, None, bytes(range(64)))],
+        MEDIA_SCHEMA,
+    )
+    out = decode_image_features(tiny).collect()
+    assert len(out) == 3
+    assert all(0 <= r["mean_luma"] <= 255 for r in out)
+
+
 def test_resize_output_dims(spark, media):
     out = resize_images(media.limit(3), out_h=4, out_w=6).collect()
     assert all(len(r["pixels"]) == 24 for r in out)
