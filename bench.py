@@ -106,15 +106,20 @@ def run_kg(spark, n_pages: int, corpus_dir: str | None = None) -> dict:
     warm = run_pipeline(spark, pages.limit(max(200, n_pages // 50)), alias,
                         out_dir=None, collect_lineage=False)
     warm.edges.count()
+    warm.linked.count()
+    warm.triples.unpersist()
+    warm.canon_map.unpersist()
 
     best = None
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
         t0 = time.time()
         r = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
-        n_edges = r.edges.count()  # forces extract→triples→canon→edges
-        r.linked.count()  # linked-mentions output is a pipeline deliverable too
-        n_triples = r.metrics["n_triples"]
+        n_edges = r.edges.count()  # fills the triples cache, forces extract→triples→canon→edges
+        r.linked.count()  # linked-mentions output reuses the cached triples
+        n_triples = r.n_triples()  # observe() accumulator — zero extra jobs
         wall = time.time() - t0
+        r.triples.unpersist()
+        r.canon_map.unpersist()
         if best is None or wall < best["kg_wall_s"]:
             best = {
                 "n_pages": n_pages,
@@ -226,16 +231,32 @@ def skew_ablation() -> None:
 def scaling() -> None:
     """N vs 4N cores on identical input → BENCH/BASELINE.md.
 
-    Runs both (4,16) and (8,32) pairs back-to-back in fresh JVMs, best-of-2
-    measured iterations each. The host has 32 physical cores shared with
-    co-tenant load (observed loadavg ~2-8 from other sandboxes), so local[32]
-    can never own 4×8 real cores; the (4,16) pair is the cleaner N-vs-4N
-    signal and both are reported.
+    Protocol (sandbox stand-in for the north rule's N vs 4N executors):
+    the SAME parquet corpus at every level, each level a fresh JVM pinned
+    (taskset) to exactly N cores, alternating N/4N rounds, best wall per
+    level. The corpus is sized so parallel work dominates fixed driver/
+    scheduler latency (strong scaling needs W/N >> S at the 4N level), and
+    best-of-k defeats co-tenant bursts (this host is shared; consecutive
+    identical runs vary up to 2× — the min is the honest quiet-machine
+    number). Pairs: (4,16) and (8,32); 8,32 shares the machine with
+    co-tenant load so (4,16) is the cleaner signal; both are reported.
     """
+    scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "100000"))
+
+    # generate the shared corpus once, unpinned, before any timed run
+    import tempfile
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{scaling_pages}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from docprocai_service_spark.corpus import distributed_pages
+        spark = make_spark(CPUS)
+        distributed_pages(spark, scaling_pages).write.mode("overwrite").parquet(corpus_dir)
+        spark.stop()
+
     def run_at(cpus: int) -> dict:
         load = open("/proc/loadavg").read().split()[0]
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_SF_DIR": SF_DIR,
-               "SPARK_GRAFT_BENCH_REPS": "1"}
+               "SPARK_GRAFT_BENCH_REPS": "1",
+               "SPARK_GRAFT_BENCH_PAGES": str(scaling_pages)}
         # Pin the WHOLE process tree (JVM task threads + Python UDF workers +
         # GC) to exactly N CPUs. local[N] alone only caps concurrent tasks —
         # Arrow UDF workers are separate processes, so an unpinned local[N]
@@ -248,11 +269,10 @@ def scaling() -> None:
         r["loadavg_at_start"] = load
         return r
 
-    # Hardware calibration: this sandbox exposes 32 vCPUs = 16 physical cores
-    # + SMT. A pure busy-loop (no Spark) measures the aggregate-compute
-    # ceiling per pair; the engine cannot exceed it, so pairs inside the
-    # physical-core budget are the honest N-vs-4N executor stand-in (on a
-    # real cluster 4N executors means 4N physical cores).
+    # Hardware calibration: lscpu reports 32 cores / 1 thread per core, but
+    # the machine is shared with bursty co-tenant sandboxes. A pure busy-loop
+    # (no Spark) measures the aggregate-compute ceiling per pair; the engine
+    # cannot exceed it.
     ceilings = {}
     import multiprocessing as mp
 
@@ -264,8 +284,8 @@ def scaling() -> None:
     # measured far apart are incomparable. Alternate N/4N back-to-back for
     # several rounds and take the best per level (the quiet-period run wins
     # for BOTH levels, which is the fairest wall-clock comparison available).
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
-    pair_list = ((2, 8), (4, 16), (8, 32))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    pair_list = ((4, 16), (8, 32))
     for n, n4 in pair_list:
         ceilings[(n, n4)] = round(_agg(n4) / (4 * _agg(n)), 3)
     pairs = []

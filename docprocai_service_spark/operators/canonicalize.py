@@ -233,16 +233,98 @@ def _components_driver(edges: DataFrame, vertices: DataFrame | None) -> DataFram
     return spark.createDataFrame(rows, "id string, comp string")
 
 
+def _canonicalize_driver(
+    rows: list[tuple[str, str]],
+    threshold: float,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 200,
+) -> list[tuple[str, str]]:
+    """Pure-driver LSH + exact-verify + union-find over collected (id, name)
+    rows. Bit-identical semantics to similarity_edges(verify='exact') +
+    connected_components: same signatures (minhash_signature is the UDF's
+    scalar oracle), same band slicing, same hot-bucket cap, same exact-Jaccard
+    threshold, comp = MIN(id). Exists because a few-hundred-row dimension
+    canonicalization costs ~10 Spark jobs of pure scheduler latency — the
+    single biggest fixed serial term in the KG pipeline's N→4N scaling."""
+    from ..functions.hashing import jaccard, minhash_signature
+
+    r = k // bands
+    buckets: dict[tuple[int, tuple[int, ...]], list[int]] = {}
+    ids = [i for i, _ in rows]
+    names = {i: nm for i, nm in rows}
+    for idx, (eid, nm) in enumerate(rows):
+        sig = minhash_signature(nm, k=k)
+        for b in range(bands):
+            buckets.setdefault((b, tuple(sig[b * r : (b + 1) * r])), []).append(idx)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue  # same hot-bucket cap as the distributed band join
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if ids[a] == ids[b]:
+                    continue
+                cand.add((a, b) if ids[a] < ids[b] else (b, a))
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in cand:
+        if jaccard(names[ids[a]], names[ids[b]]) >= threshold:
+            ra, rb = find(ids[a]), find(ids[b])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return [(eid, find(eid)) for eid in ids]
+
+
 def canonicalize_entities(
     entity_names: DataFrame,
     threshold: float = 0.7,
+    mode: str = "auto",
+    driver_threshold: int = 20_000,
 ) -> DataFrame:
     """(entity_id, name) → (entity_id, canon_id) mapping via LSH components.
 
     Entities whose names are near-duplicates (planted `… Ltd` variants, crawl
     noise) collapse to one canonical id = MIN(entity_id) of the component;
     entities with no similar peer map to themselves.
+
+    mode='auto': dimension-sized inputs (≤ driver_threshold DISTINCT names —
+    probed with a bounded limit().count(), never an unbounded collect) run the
+    whole LSH+verify+union-find on the driver (_canonicalize_driver), the same
+    "small side stays local" call a broadcast join makes. Larger inputs — the
+    web-scale case — run the distributed banded join + label propagation.
+    Both paths are output-identical and tests pin that.
     """
+    rows = None
+    if mode == "auto":
+        # probe and fetch in ONE job: collect at most threshold+1 rows; a full
+        # result means the input is dimension-sized and already in hand.
+        probe = entity_names.select("entity_id", "name").limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            mode, rows = "driver", [(r["entity_id"], r["name"]) for r in probe]
+        else:
+            mode = "distributed"
+    if mode == "driver":
+        if rows is None:
+            rows = [
+                (r["entity_id"], r["name"])
+                for r in entity_names.select("entity_id", "name").collect()
+            ]
+        mapping = _canonicalize_driver(rows, threshold)
+        spark = entity_names.sparkSession
+        if not mapping:
+            return spark.createDataFrame([], "entity_id string, canon_id string")
+        return spark.createDataFrame(mapping, "entity_id string, canon_id string")
     edges = similarity_edges(
         entity_names, id_col="entity_id", name_col="name", threshold=threshold
     )

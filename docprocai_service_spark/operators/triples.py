@@ -60,14 +60,24 @@ def triples_stage(extracted: DataFrame) -> DataFrame:
     tests/test_triples.py on every corpus shape.
     """
     s = sentences_stage(extracted)
+    # The subj/obj carve-out is pure string arithmetic, NOT a dynamic split:
+    # split(sentence, concat(' ', pred, ' ')) compiles a regex PER ROW
+    # (UTF8String.split → Pattern.compile), an allocation storm that showed up
+    # as executor threads pinned in Pattern.compile + GC collapse at high
+    # thread counts. instr/substring are regex-free; the leftmost PRED_SCAN
+    # match at position p guarantees instr(sentence, ' pred ') == p (no
+    # earlier occurrence of any predicate exists, or the regex would have
+    # matched there), so the rewrite is exactly the 2-limit split.
     parsed = (
         s.withColumn("pred", F.regexp_extract("sentence", PRED_SCAN_REGEX, 1))
         .filter(F.col("pred") != "")
-        .withColumn("__parts", F.expr("split(sentence, concat(' ', pred, ' '), 2)"))
+        .withColumn("__pos", F.expr("instr(sentence, concat(' ', pred, ' '))"))
         .select(
-            F.col("__parts")[0].alias("subj"),
+            F.expr("substring(sentence, 1, __pos - 1)").alias("subj"),
             "pred",
-            F.regexp_replace(F.col("__parts")[1], r"\.$", "").alias("obj"),
+            F.regexp_replace(
+                F.expr("substring(sentence, __pos + length(pred) + 2)"), r"\.$", ""
+            ).alias("obj"),
             "url",
             "warc_ts",
             "sent_no",

@@ -45,7 +45,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 12g, NOT bigger: on a huge heap (48g) G1 grows the young gen to tens
+        # of GB and each young pause copies a massive survivor set — measured
+        # 250ms pauses and a 2-5× end-to-end slowdown of the allocation-heavy
+        # KG pipeline at 16 threads. A real cluster sizes executor heaps
+        # 8-16g per 4-8 cores for exactly this reason.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Spark 4's ICU case mappings trigger CollationAwareUTF8String.<clinit>
