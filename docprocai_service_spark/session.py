@@ -43,7 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 1000, not 10000: with ~5KB html rows a 10k-row Arrow batch is ~50MB
+        # resident per task on BOTH sides of the Python boundary — measured 2×
+        # slower than 1k batches at 16 threads (cache locality + JVM/Python
+        # pipelining at batch granularity). 1k rows ≈ 5MB batches.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         .config("spark.sql.session.timeZone", "UTC")
         # 12g, NOT bigger: on a huge heap (48g) G1 grows the young gen to tens
         # of GB and each young pause copies a massive survivor set — measured
