@@ -184,6 +184,33 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+def sessionize_events_dynamic(spark, sf_dir):
+    """Dynamic-gap sessionization — the reference's content-dependent segment
+    boundary (similarity < θ AND elapsed ≥ min, VideoProcessor.py:92-174)
+    as lag + cumsum with a data-dependent predicate (§2.5)."""
+    from docprocai_service_spark.streaming.sessions import dynamic_sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return dynamic_sessionize(e, sim_threshold=0.9, min_session_s=15).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    )
+
+
+def event_transcript_timeordered(spark, sf_dir):
+    """Transcript string-agg in EVENT-TIME order (VideoProcessor.py:131
+    concatenates in playback order) — struct-sorted collect_list (§2.4)."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    return e.groupBy("user_id").agg(F.array_join(ordered, " ").alias("transcript"))
+
+
 def events_daily_cube(spark, sf_dir):
     """CUBE grouping sets (§2.4 'absent in reference, free in Spark')."""
     e = _t(spark, sf_dir, "events").withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
@@ -276,6 +303,57 @@ def semantic_search_docs(spark, sf_dir):
         .limit(15)
         .select("doc_id", "source", F.round("raw", 4).alias("score"))
     )
+
+
+_SS_WHITELIST = ["src1", "src2", "src3", "src8", "src9", "src10", "src15", "src16", "src17"]
+
+
+def semantic_search_full(spark, sf_dir):
+    """The reference's FULL semantic_search shape (persistence/
+    SegmentDbConnector.py:228-258): 3-source outer-union (document|video|
+    assessment) → whitelist pushdown → cosine distance → self-match removal
+    (score>0) → same-parent exclusion → per-assessment MIN collapse → global
+    deterministic top-k."""
+    from docprocai_service_spark.operators.segments import semantic_search, union_segments
+
+    q = _query_vec(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("source").alias("parent_id"),
+        "embedding",
+    )
+    srcnum = F.regexp_extract("parent_id", r"(\d+)", 1).cast("int")
+    d = seg.filter(srcnum < 7)
+    v = seg.filter((srcnum >= 7) & (srcnum < 14))
+    a = seg.filter(srcnum >= 14)
+    united = union_segments(d, v, a)
+    out = semantic_search(
+        united, q, k=15, whitelist=_SS_WHITELIST, exclude_parent="src1"
+    )
+    return out.select("id", "parent_id", "source", F.round("score", 4).alias("score"))
+
+
+def data_uri_docs(spark, sf_dir):
+    """base64 data-URI scalar (§2.8, reference dto/mapper.py:21,34) —
+    pure-JVM concat+base64."""
+    from docprocai_service_spark.functions.encoding import data_uri
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", data_uri(F.col("text"), mime="text/plain").alias("uri")
+    )
+
+
+def tags_tfidf_docs(spark, sf_dir):
+    """c-TF-IDF tag generation (§2.4 term counting — reference
+    fileextractlib/TopicModel.py:54-71): 1-2-gram counts per source class,
+    class-TF-IDF weighting, top-5 terms per class."""
+    from docprocai_service_spark.operators.tags import tags_tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return tags_tfidf(d, text_col="text", group_col="source", max_ngram=2, top_k=5)
 
 
 def ann_topk_embeddings(spark, sf_dir):
@@ -401,12 +479,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": top3_orders_per_customer,
         "event_type_sequence": event_type_sequence,
         "sessionize_events": sessionize_events,
+        "sessionize_events_dynamic": sessionize_events_dynamic,
+        "event_transcript_timeordered": event_transcript_timeordered,
         "events_daily_cube": events_daily_cube,
         "hourly_event_stats": hourly_event_stats,
         "json_props_sum": json_props_sum,
         "brand_revenue_broadcast": brand_revenue_broadcast,
         "cosine_topk": cosine_topk,
         "semantic_search_docs": semantic_search_docs,
+        "semantic_search_full": semantic_search_full,
+        "data_uri_docs": data_uri_docs,
+        "tags_tfidf_docs": tags_tfidf_docs,
         "ann_topk_embeddings": ann_topk_embeddings,
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
@@ -502,6 +585,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY user_id
         """,
+        "sessionize_events_dynamic": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                          WHEN (1.0/(1.0 + abs(value - LAG(value) OVER w)) < 0.9)
+                               AND (epoch(ts) - epoch(LAG(ts) OVER w) >= 15) THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT user_id, ts,
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "event_transcript_timeordered": """
+            SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS transcript
+            FROM events GROUP BY user_id
+        """,
         "events_daily_cube": """
             SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n
             FROM events GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
@@ -538,6 +645,58 @@ def oracle_sql() -> dict[str, str]:
                    WHERE source IN ('src1','src2','src3','src4','src5'))
             SELECT doc_id, source, ROUND(raw, 4) AS score FROM seg
             WHERE raw > 0 ORDER BY raw ASC, doc_id LIMIT 15
+        """,
+        "semantic_search_full": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+                 seg AS (
+                   SELECT CAST(doc_id AS VARCHAR) AS id, source AS parent_id,
+                          CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) < 7 THEN 'document'
+                               WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) < 14 THEN 'video'
+                               ELSE 'assessment' END AS source,
+                          1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+                   FROM documents JOIN embeddings ON doc_id = vec_id
+                   WHERE source IN ('src1','src2','src3','src8','src9','src10','src15','src16','src17')
+                     AND source <> 'src1'),
+                 filtered AS (SELECT * FROM seg WHERE score > 0),
+                 assess AS (
+                   SELECT parent_id AS id, parent_id, 'assessment' AS source, MIN(score) AS score
+                   FROM filtered WHERE source = 'assessment' GROUP BY parent_id),
+                 rest AS (
+                   SELECT id, parent_id, source, score FROM filtered WHERE source <> 'assessment')
+            SELECT id, parent_id, source, ROUND(score, 4) AS score
+            FROM (SELECT * FROM rest UNION ALL SELECT * FROM assess)
+            ORDER BY score ASC, id ASC LIMIT 15
+        """,
+        "data_uri_docs": """
+            SELECT doc_id, 'data:text/plain;base64,' || to_base64(encode(text)) AS uri
+            FROM documents
+        """,
+        "tags_tfidf_docs": """
+            WITH toks AS (
+              SELECT source, list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+                                         x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            uni AS (SELECT source, unnest(ws) AS term FROM toks),
+            bi AS (
+              SELECT source, ws[i] || ' ' || ws[i+1] AS term
+              FROM toks, LATERAL unnest(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            tf AS (SELECT source AS "group", term, COUNT(*) AS tf
+                   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2),
+            ft AS (SELECT term, SUM(tf) AS f_t FROM tf GROUP BY 1),
+            a AS (SELECT AVG(n_terms) AS a FROM (SELECT "group", SUM(tf) AS n_terms FROM tf GROUP BY 1)),
+            scored AS (
+              SELECT tf."group", tf.term,
+                     tf.tf * ln(1.0 + (SELECT a FROM a) / ft.f_t) AS score
+              FROM tf JOIN ft USING (term))
+            SELECT "group", term, rank, ROUND(score, 4) AS score
+            FROM (SELECT "group", term, score,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY "group"
+                                            ORDER BY score DESC, term) AS BIGINT) AS rank
+                  FROM scored)
+            WHERE rank <= 5
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size

@@ -87,6 +87,34 @@ class StageStore:
         self._commit_manifest(stage, rows=out.count(), partition_by=[])
         return out
 
+    def upsert(self, stage: str, df: DataFrame, keys: list[str] = KEYS) -> DataFrame:
+        """MERGE semantics: rows whose key tuple already exists are REPLACED by
+        the incoming rows; new keys are appended — the reference's ON CONFLICT
+        DO UPDATE (persistence/SegmentDbConnector.py:101-124,
+        MediaRecordInfoDbConnector.py:26-38) as read → anti-join → union →
+        atomic directory swap. Crash windows: after the old dir is removed but
+        before the swap dir is renamed, the stage has no _SUCCESS and is
+        treated as absent (torn write) — the normal recovery path recomputes
+        it; a leaked .swap dir is cleaned on the next upsert."""
+        import shutil
+
+        if self.is_done(stage):
+            old = self.read(stage)
+            new_keys = df.select(*keys).distinct()
+            kept = old.join(new_keys, keys, "left_anti")
+            merged = kept.unionByName(df)
+            swap = self.path(stage) + ".swap"
+            shutil.rmtree(swap, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(swap)
+            self.invalidate(stage)  # manifest+_SUCCESS gone BEFORE the dir swap
+            shutil.rmtree(self.path(stage))
+            os.rename(swap, self.path(stage))
+        else:
+            df.write.mode("overwrite").parquet(self.path(stage))
+        out = self.read(stage)
+        self._commit_manifest(stage, rows=out.count(), partition_by=[])
+        return out
+
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.path(stage))
 

@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
-from docprocai_service_spark.streaming.sessions import run_sessions_available_now
+from pyspark.sql import functions as F
+
+from docprocai_service_spark.streaming.sessions import (
+    run_sessions_available_now,
+    session_stats_stream_dynamic,
+)
 
 
 def test_streaming_sessions_match_batch(spark, tmp_path):
@@ -40,3 +45,74 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         assert batch_counts[u] - 1 <= n <= batch_counts[u]
     # emitted sessions carry sane aggregates
     assert got.filter("n_events <= 0").count() == 0
+
+
+def _drain_dynamic(spark, in_dir, out_dir, ckpt):
+    df = session_stats_stream_dynamic(spark, in_dir, watermark="10 minutes",
+                                      long_gap="45 minutes", short_gap="15 minutes")
+    (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
+
+
+def test_streaming_dynamic_gap_sessions(spark, tmp_path):
+    """The dynamic-gap streaming form: per-event gap column drives window
+    close; high-value events hold sessions open longer than low-value ones."""
+    rows = [
+        # user 1: low values, 20-min spacing > 15-min short gap -> splits
+        (1, "2024-01-01 08:00:00", 1, "a", 0.1, None),
+        (2, "2024-01-01 08:20:00", 1, "a", 0.1, None),
+        # user 2: high values, 20-min spacing < 45-min long gap -> one session
+        (3, "2024-01-01 08:00:00", 2, "a", 0.9, None),
+        (4, "2024-01-01 08:20:00", 2, "a", 0.9, None),
+        # watermark pusher: far-future event closes everything above
+        (5, "2024-01-01 12:00:00", 3, "a", 0.1, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    in_dir, out_dir, ckpt = str(tmp_path / "din"), str(tmp_path / "dout"), str(tmp_path / "dck")
+    events.write.mode("overwrite").parquet(in_dir)
+    got = _drain_dynamic(spark, in_dir, out_dir, ckpt)
+    per_user = {r["user_id"]: r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user.get(1) == 2  # short gap split them
+    assert per_user.get(2) == 1  # long gap merged them
+
+
+def test_streaming_sessions_drop_late_past_watermark(spark, tmp_path):
+    """VERDICT item 10: out-of-order events arriving AFTER the watermark has
+    passed their session must be dropped, not corrupt closed sessions —
+    exactly-once append output stays immutable across micro-batches."""
+    in_dir, out_dir, ckpt = str(tmp_path / "lin"), str(tmp_path / "lout"), str(tmp_path / "lck")
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("append").parquet(in_dir)
+
+    # batch 1: one session for user 1 at 08:00, plus an event at 12:00 that
+    # advances the watermark (10 min allowance) far past 08:xx
+    write_batch([
+        (1, "2024-01-01 08:00:00", 1, "a", 1.0, None),
+        (2, "2024-01-01 08:05:00", 1, "a", 1.0, None),
+        (3, "2024-01-01 12:00:00", 2, "a", 1.0, None),
+    ])
+    got1 = _drain_dynamic(spark, in_dir, out_dir, ckpt)
+    u1 = got1.filter("user_id = 1").collect()
+    assert len(u1) == 1 and u1[0]["n_events"] == 2  # session closed and emitted
+
+    # batch 2: a LATE event for user 1 inside the closed 08:xx session window,
+    # hours behind the 12:00 watermark -> must be discarded
+    write_batch([(4, "2024-01-01 08:06:00", 1, "a", 1.0, None)])
+    got2 = _drain_dynamic(spark, in_dir, out_dir, ckpt)
+    u1b = got2.filter("user_id = 1").collect()
+    # the closed session is unchanged, and no duplicate/amended row appeared
+    assert len(u1b) == 1 and u1b[0]["n_events"] == 2

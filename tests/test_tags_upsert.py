@@ -1,0 +1,104 @@
+"""c-TF-IDF tags, upsert-with-update MERGE semantics, data-URI scalar,
+dynamic-gap sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docprocai_service_spark.operators.tags import tags_array, tags_tfidf, term_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("spark", "spark runs fast spark scales out"),
+        ("spark", "spark shuffles partitions"),
+        ("cooking", "slow roast onion soup"),
+        ("cooking", "onion soup with roast garlic"),
+        (None, None),
+        ("empty", ""),
+    ]
+    return spark.createDataFrame(rows, "source string, text string").localCheckpoint()
+
+
+def test_term_counts_ngram_expansion(spark, docs):
+    tc = {(r["group"], r["term"]): r["tf"] for r in term_counts(docs, max_ngram=2).collect()}
+    assert tc[("spark", "spark")] == 3  # unigram counted with duplicates
+    assert tc[("spark", "spark runs")] == 1  # bigram present
+    assert tc[("cooking", "onion soup")] == 2
+    assert ("empty", "") not in tc  # empty text contributes nothing
+
+
+def test_tags_tfidf_separates_classes(spark, docs):
+    tags = tags_array(docs, max_ngram=2, top_k=3).collect()
+    by_group = {r["group"]: r["tags"] for r in tags}
+    # class-specific terms outrank shared ones; the top tag is on-topic
+    assert "spark" in by_group["spark"][0]
+    assert any("onion" in t or "soup" in t or "roast" in t for t in by_group["cooking"][:2])
+    flat = tags_tfidf(docs, max_ngram=2, top_k=3)
+    ranks = [r["rank"] for r in flat.filter(F.col("group") == "spark").collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_data_uri_roundtrip(spark):
+    from docprocai_service_spark.functions.encoding import data_uri, from_data_uri
+
+    df = spark.createDataFrame([("hello world",), ("x" * 500,)], "s string")
+    out = df.select(
+        data_uri(F.col("s"), mime="text/plain").alias("uri"),
+        from_data_uri(data_uri(F.col("s"), mime="text/plain")).cast("string").alias("back"),
+        "s",
+    ).collect()
+    import base64
+
+    for r in out:
+        assert r["uri"] == "data:text/plain;base64," + base64.b64encode(r["s"].encode()).decode()
+        assert "\r" not in r["uri"] and "\n" not in r["uri"]  # unchunked per RFC 2397
+        assert r["back"] == r["s"]
+
+
+def test_upsert_replaces_matching_keys(spark, tmp_path):
+    """Reference ON CONFLICT DO UPDATE (SegmentDbConnector.py:101-124):
+    re-ingesting a MODIFIED page must replace its rows, not keep stale ones."""
+    from docprocai_service_spark.sources.manifest import StageStore
+
+    store = StageStore(spark, str(tmp_path / "up"))
+    v1 = spark.createDataFrame(
+        [("u1", 1, "old-a"), ("u2", 1, "old-b")], "url string, warc_ts int, payload string"
+    )
+    store.upsert("seg", v1, keys=["url", "warc_ts"])
+    v2 = spark.createDataFrame(
+        [("u1", 1, "NEW-a"), ("u3", 1, "new-c")], "url string, warc_ts int, payload string"
+    )
+    store.upsert("seg", v2, keys=["url", "warc_ts"])
+    got = {r["url"]: r["payload"] for r in store.read("seg").collect()}
+    assert got == {"u1": "NEW-a", "u2": "old-b", "u3": "new-c"}
+    # idempotence: re-upserting the same batch changes nothing
+    store.upsert("seg", v2, keys=["url", "warc_ts"])
+    got2 = {r["url"]: r["payload"] for r in store.read("seg").collect()}
+    assert got2 == got
+    assert store.is_done("seg")
+
+
+def test_dynamic_sessionize_rule(spark):
+    """New session iff similarity < θ AND elapsed ≥ min — both conditions."""
+    from docprocai_service_spark.streaming.sessions import dynamic_sessionize
+
+    rows = [
+        # user 1: similar values close together -> one session
+        (1, "2024-01-01 10:00:00", 1, "a", 0.50),
+        (2, "2024-01-01 10:00:10", 1, "a", 0.52),
+        # big value jump but only 5s elapsed -> min-duration guard holds it
+        (3, "2024-01-01 10:00:15", 1, "a", 9.99),
+        # big jump AND 20s elapsed -> new session
+        (4, "2024-01-01 10:00:35", 1, "a", 0.01),
+        # small change after 100s -> similarity guard keeps the session
+        (5, "2024-01-01 10:02:15", 1, "a", 0.02),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dynamic_sessionize(e, sim_threshold=0.9, min_session_s=15)
+    sessions = {r["session_id"]: r["n_events"] for r in out.collect()}
+    assert sessions == {1: 3, 2: 2}
