@@ -39,6 +39,9 @@ HEADLINE = [
     "top3_orders_per_customer",
     "cosine_topk",
     "semantic_search_docs",
+    "semantic_search_full",
+    "sessionize_events_dynamic",
+    "tags_tfidf_docs",
     "exact_dedup_docs",
     "minhash_near_dup_docs",
 ]
