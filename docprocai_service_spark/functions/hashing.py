@@ -190,9 +190,20 @@ def make_jaccard_udf(shingle: str = "char", n: int = 3):
 
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
+        # candidate pairs repeat the same documents many times — shingle each
+        # DISTINCT string once per Arrow batch
+        cache: dict[str, frozenset] = {}
+
+        def sh(x: str) -> frozenset:
+            s = cache.get(x)
+            if s is None:
+                s = frozenset(f(x, n))
+                cache[x] = s
+            return s
+
         out = np.empty(len(c1), dtype=np.float64)
         for i, (x, y) in enumerate(zip(c1, c2)):
-            a, b = f(x or "", n), f(y or "", n)
+            a, b = sh(x or ""), sh(y or "")
             u = len(a | b)
             out[i] = (len(a & b) / u) if u else 1.0
         return pd.Series(out)

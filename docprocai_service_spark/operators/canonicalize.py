@@ -64,12 +64,15 @@ def similarity_edges(
     verify='estimate' keeps the pure-JVM signature similarity (cheaper; use
     when the threshold sits in a margin, e.g. page-level dedup at 0.9).
     """
+    from pyspark import StorageLevel
+
     minhash = make_minhash_udf(k=k, shingle=shingle, n=n)
     sigs = names.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
         minhash(F.col(name_col)).alias("sig"),
-    ).localCheckpoint()  # computed once; reused by both join sides
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # computed once, reused by both
+    # join sides; persist is LAZY (no eager barrier job like localCheckpoint)
 
     banded = sigs.select("id", F.explode(band_keys(F.col("sig"), bands, k)).alias("band_key"))
     # bound hot buckets before the self-join
