@@ -356,6 +356,18 @@ def tags_tfidf_docs(spark, sf_dir):
     return tags_tfidf(d, text_col="text", group_col="source", max_ngram=2, top_k=5)
 
 
+def cosine_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — exact all-pairs path (the
+    explicitly-labeled small-scale oracle twin of the LSH-bucketed scale path
+    in operators/similarity.py:cosine_pairs)."""
+    from docprocai_service_spark.operators.similarity import cosine_pairs
+
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.4, dim=len(q), exact=True)
+    return pairs.select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def ann_topk_embeddings(spark, sf_dir):
     """Sign-LSH bucketed ANN (scale path; approximate → rows-only check)."""
     from docprocai_service_spark.operators.similarity import ann_topk, bucketize
@@ -490,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_search_full": semantic_search_full,
         "data_uri_docs": data_uri_docs,
         "tags_tfidf_docs": tags_tfidf_docs,
+        "cosine_near_dup_pairs": cosine_near_dup_pairs,
         "ann_topk_embeddings": ann_topk_embeddings,
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
@@ -697,6 +710,14 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY score DESC, term) AS BIGINT) AS rank
                   FROM scored)
             WHERE rank <= 5
+        """,
+        "cosine_near_dup_pairs": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
