@@ -155,6 +155,76 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, codec: str = "stub") -
     )
 
 
+def pcm_normalize(media: DataFrame, peak: float = 0.95) -> DataFrame:
+    """REAL (not stubbed) PCM peak normalization — the reference's audio
+    loudness step (reference: fileextractlib/TranscriptGenerator.py:42-55
+    resamples/normalizes via ffmpeg before Whisper). Raw 16-bit little-endian
+    PCM needs no codec: decode with np.frombuffer, scale so max |sample| hits
+    `peak` of full scale, re-encode. Vectorized per row inside the Arrow
+    batch; mapInPandas keeps the bytes executor-side.
+
+    Output: (media_id, content binary, peak_before double, scale double).
+    """
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        full = 32767.0
+        for pdf in batches:
+            ids, outs, peaks, scales = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                buf = buf[: len(buf) - (len(buf) % 2)]  # whole int16 samples
+                x = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+                p = float(np.abs(x).max()) / full if len(x) else 0.0
+                s = (peak / p) if p > 0 else 1.0
+                y = np.clip(np.rint(x * s), -32768, 32767).astype("<i2")
+                ids.append(media_id)
+                outs.append(y.tobytes())
+                peaks.append(p)
+                scales.append(s)
+            yield pd.DataFrame(
+                {"media_id": ids, "content": outs, "peak_before": peaks, "scale": scales}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        norm, schema="media_id string, content binary, peak_before double, scale double"
+    )
+
+
+def normalize_media(media: DataFrame, target_mime: str = "application/pdf",
+                    codec: str = "stub") -> DataFrame:
+    """Format normalization dispatch — the reference converts PPTX→PDF before
+    extraction (reference: fileextractlib/PowerPointProcessor.py:13-37 via
+    LibreOffice). The Spark-side shape is a mime-dispatched mapInPandas:
+    rows already in `target_mime` pass through untouched; others run the
+    converter (STUB — deterministic container re-wrap: a real deployment swaps
+    in the LibreOffice/ffmpeg call). Metadata-first pruning applies: the
+    dispatch predicate is on `mime`, so a mime-partitioned table converts only
+    the partitions that need it."""
+    if codec == "real":
+        raise NotImplementedError("no office/media converter in this container — STUB only")
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, outs, converted = [], [], [], []
+            for media_id, mime, content in zip(pdf["media_id"], pdf["mime"], pdf["content"]):
+                if mime == target_mime:
+                    ids.append(media_id); mimes.append(mime)
+                    outs.append(bytes(content)); converted.append(False)
+                else:
+                    # deterministic stand-in conversion: tagged re-wrap so
+                    # tests can verify dispatch + payload integrity
+                    ids.append(media_id); mimes.append(target_mime)
+                    outs.append(b"CONV:" + mime.encode() + b":" + bytes(content))
+                    converted.append(True)
+            yield pd.DataFrame(
+                {"media_id": ids, "mime": mimes, "content": outs, "converted": converted}
+            )
+
+    return media.select("media_id", "mime", "content").mapInPandas(
+        conv, schema="media_id string, mime string, content binary, converted boolean"
+    )
+
+
 def byte_stats(media: DataFrame) -> DataFrame:
     """Codec-free byte-level features (REAL, not stubbed): size + entropy +
     crc — the cheap pre-filter columns a 100 TB media pipeline computes before

@@ -9,6 +9,8 @@ from docprocai_service_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     byte_stats,
     decode_image_features,
+    normalize_media,
+    pcm_normalize,
     resize_images,
     sample_frames,
 )
@@ -72,6 +74,39 @@ def test_byte_stats_real_values(spark, media):
     st = byte_stats(media).collect()
     assert all(r["n_bytes"] == 400 for r in st)
     assert all(0.0 <= r["byte_entropy"] <= 8.0 for r in st)
+
+
+def test_pcm_normalize_real_math(spark):
+    """pcm_normalize is REAL: int16 samples scale so peak hits 0.95 FS."""
+    import numpy as np
+
+    quiet = (np.array([100, -200, 50], dtype="<i2")).tobytes()
+    loud = (np.array([32000, -16000], dtype="<i2")).tobytes()
+    empty = b""
+    rows = [("q", "audio/pcm", None, None, None, quiet),
+            ("l", "audio/pcm", None, None, None, loud),
+            ("e", "audio/pcm", None, None, None, empty)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in pcm_normalize(media, peak=0.95).collect()}
+    q = np.frombuffer(out["q"]["content"], dtype="<i2")
+    assert abs(int(np.abs(q).max()) - round(0.95 * 32767)) <= 1
+    # relative sample ratios preserved (linear gain)
+    assert abs(q[0] / q[1] + 0.5) < 0.02
+    l = np.frombuffer(out["l"]["content"], dtype="<i2")
+    assert abs(int(np.abs(l).max()) - round(0.95 * 32767)) <= 1
+    assert out["e"]["content"] == b"" and out["e"]["scale"] == 1.0
+
+
+def test_normalize_media_dispatch(spark):
+    rows = [("a", "application/pdf", None, None, None, b"%PDF-1.7 payload"),
+            ("b", "application/vnd.pptx", None, None, None, b"PKpptxbytes")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in normalize_media(media).collect()}
+    assert out["a"]["converted"] is False and bytes(out["a"]["content"]) == b"%PDF-1.7 payload"
+    assert out["b"]["converted"] is True and out["b"]["mime"] == "application/pdf"
+    assert bytes(out["b"]["content"]).endswith(b"PKpptxbytes")  # payload intact
+    with pytest.raises(NotImplementedError):
+        normalize_media(media, codec="real")
 
 
 def test_real_codec_is_explicitly_stubbed(media):
