@@ -107,6 +107,77 @@ def ann_topk(
     )
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means (Lloyd, fixed seed) on a
+    BOUNDED driver sample — the standard FAISS-style recipe where the
+    quantizer trains on a sample and the full corpus is only ever ASSIGNED
+    (one narrow pass). limit() bounds the collect regardless of corpus size.
+    Unit-normalized centroids so assignment maximizes cosine via dot."""
+    sample = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in vectors.select(vec_col).limit(sample_rows).collect()]
+    )
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign(vectors: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add `list_id` = argmax cosine against the broadcast centroids — one
+    matmul per Arrow batch; at scale, write partitioned by list_id so probes
+    prune partitions."""
+    cent = centroids  # captured in the UDF closure (broadcast via pickling)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return vectors.withColumn("list_id", assign_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score the query against centroids on the driver, probe the
+    top-`nprobe` lists (partition-prunable IN-list), exact cosine within."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = [int(i) for i in (centroids @ qn).argsort()[::-1][:nprobe]]
+    cand = assigned.filter(F.col("list_id").isin(probes))
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -110,3 +110,27 @@ def test_cosine_pairs_exact_vs_bucketed(spark, vectors):
     exact = {(r["id1"], r["id2"]) for r in cosine_pairs(small, 0.95, dim, exact=True).collect()}
     approx = {(r["id1"], r["id2"]) for r in cosine_pairs(small, 0.95, dim, exact=False).collect()}
     assert approx <= exact  # bucketing may miss but never invents pairs
+
+
+def test_ivf_recall_vs_exact(spark, vectors):
+    from docprocai_service_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    dim = len(vectors.first()["embedding"])
+    cent = ivf_train_centroids(vectors, dim=dim, n_lists=8, iters=5)
+    assert cent.shape == (8, dim)
+    assigned = ivf_assign(vectors, cent).localCheckpoint()
+    # every vector lands in exactly one list; lists are non-degenerate
+    n_lists_used = assigned.select("list_id").distinct().count()
+    assert 2 <= n_lists_used <= 8
+    q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in topk_cosine(vectors, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cent, q, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7  # nprobe=4 of 8 lists recovers most true neighbors
+    # determinism: same seed -> same centroids -> same result
+    cent2 = ivf_train_centroids(vectors, dim=dim, n_lists=8, iters=5)
+    assert np.allclose(cent, cent2)
