@@ -2,6 +2,23 @@
 
 from __future__ import annotations
 
+import pytest as _pytest  # noqa: F401  (fixtures come from conftest)
+
+
+def test_fused_equals_staged_triples(spark, spark_corpus):
+    """fused mapInPandas path == extract-UDF + JVM-parse path, row for row."""
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.triples import fused_triples_stage, triples_stage
+
+    pages, _ = spark_corpus
+    cols = ["subj", "pred", "obj", "url", "warc_ts", "sent_no"]
+    staged = sorted(map(tuple, triples_stage(extract_stage(pages)).select(*cols).collect()))
+    fused = sorted(map(tuple, fused_triples_stage(pages).select(*cols).collect()))
+    assert staged == fused
+    # partitioning invariance of the fused path
+    fused2 = sorted(map(tuple, fused_triples_stage(pages.repartition(11)).select(*cols).collect()))
+    assert fused == fused2
+
 import pytest
 
 from docprocai_service_spark.operators.extract import extract_stage
