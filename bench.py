@@ -301,11 +301,16 @@ def scaling() -> None:
             return sum(p.map(_burn_2s, range(n)))
 
     # Co-tenant load on this host fluctuates on a minutes timescale; levels
-    # measured far apart are incomparable. Alternate N/4N back-to-back for
-    # several rounds and take the best per level (the quiet-period run wins
-    # for BOTH levels, which is the fairest wall-clock comparison available).
+    # measured far apart are incomparable. Interleave ALL levels within each
+    # round and take the best run per level — each level gets `rounds`
+    # samples spread across the whole measurement window, so a single quiet
+    # period benefits every level rather than whichever pair happened to be
+    # up (with per-pair alternation, the same 8-core level measured 246k in
+    # one pair's window and 316k in another's — the interleaved protocol
+    # makes that impossible by construction).
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     pair_list = ((2, 8), (4, 16), (8, 32))
+    levels = sorted({n for p in pair_list for n in p})
 
     def _agg_stream(n: int) -> float:
         with mp.Pool(n) as p:
@@ -315,15 +320,15 @@ def scaling() -> None:
     for n, n4 in pair_list:
         ceilings[(n, n4)] = round(_agg(n4) / (4 * _agg(n)), 3)
         mem_ceilings[(n, n4)] = round(_agg_stream(n4) / (4 * _agg_stream(n)), 3)
+    best: dict[int, dict] = {}
+    for _ in range(rounds):
+        for lvl in levels:
+            r = run_at(lvl)
+            if lvl not in best or r["kg_wall_s"] < best[lvl]["kg_wall_s"]:
+                best[lvl] = r
     pairs = []
     for n, n4 in pair_list:
-        best_n, best_4n = None, None
-        for _ in range(rounds):
-            rn, r4n = run_at(n), run_at(n4)
-            if best_n is None or rn["kg_wall_s"] < best_n["kg_wall_s"]:
-                best_n = rn
-            if best_4n is None or r4n["kg_wall_s"] < best_4n["kg_wall_s"]:
-                best_4n = r4n
+        best_n, best_4n = best[n], best[n4]
         eff = best_4n["triples_per_sec"] / (4 * best_n["triples_per_sec"])
         pairs.append((n, n4, best_n, best_4n, eff))
 
@@ -344,6 +349,15 @@ def scaling() -> None:
         "scale better than the mem ceiling; on a real 4N-executor cluster the",
         "bandwidth scales WITH the nodes, so eff/mem-ceiling is the honest",
         "cluster stand-in.\n",
+        "Per-level best of the interleaved rounds:\n",
+        "| cores | triples/s | pages/s | wall s | loadavg at start |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {lvl} | {best[lvl]['triples_per_sec']} | {best[lvl]['pages_per_sec']} "
+        f"| {best[lvl]['kg_wall_s']} | {best[lvl].get('loadavg_at_start', '?')} |"
+        for lvl in levels
+    ] + [
+        "",
         "| N | 4N | triples/s @N | triples/s @4N | efficiency | alu ceiling | mem ceiling | eff/mem |",
         "|---|---|---|---|---|---|---|---|",
     ]
