@@ -32,9 +32,10 @@ import pandas as pd
 
 # --------------------------------------------------------------- regexes
 # Compiled once; both the scalar and the vectorized paths use exactly these.
-_RE_SCRIPT = re.compile(r"(?is)<script\b[^>]*>.*?</script>")
-_RE_STYLE = re.compile(r"(?is)<style\b[^>]*>.*?</style>")
-_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+# script/style/comment removal is ONE leftmost-first alternation pass (a
+# comment hides a script inside it and vice versa — more HTML-correct than
+# three sequential passes, and 3× fewer scans of the document).
+_RE_DROP = re.compile(r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->")
 _RE_MAIN = re.compile(r"(?is)<main\b[^>]*>(.*?)</main>")
 _RE_MAIN_OPEN = re.compile(r"(?is)<main\b[^>]*>(.*)$")
 _RE_BODY = re.compile(r"(?is)<body\b[^>]*>(.*?)</body>")
@@ -47,14 +48,22 @@ _RE_SPACES = re.compile(r"[ \t\r\f\v]+")
 _RE_LINE_EDGE = re.compile(r"(?m)^[ ]+|[ ]+$")
 _RE_EMPTY_LINES = re.compile(r"\n{2,}")
 
-_ENTITIES = [
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&amp;", "&"),  # last, so &amp;lt; -> &lt; (literal), not <
-]
+# Entity unescape: ONE left-to-right pass over a fixed table. Equivalent to
+# the old sequential per-entity replaces (replacements are never rescanned,
+# so "&amp;lt;" still yields literal "&lt;", not "<") but scans the text once.
+_ENTITY_MAP = {
+    "&nbsp;": " ",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&amp;": "&",
+}
+_RE_ENTITY = re.compile("|".join(re.escape(k) for k in _ENTITY_MAP))
+
+
+def _entity_sub(m: re.Match) -> str:
+    return _ENTITY_MAP[m.group(0)]
 
 # ------------------------------------------------------- triple grammar
 # OpenIE-style predicate vocabulary; longest-first so the alternation prefers
@@ -98,9 +107,7 @@ def extract_text_str(html: bytes | str | None) -> str | None:
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
-    s = _RE_SCRIPT.sub("", s)
-    s = _RE_STYLE.sub("", s)
-    s = _RE_COMMENT.sub("", s)
+    s = _RE_DROP.sub("", s)
     for rx in (_RE_MAIN, _RE_MAIN_OPEN, _RE_BODY, _RE_BODY_OPEN):
         m = rx.search(s)
         if m:
@@ -110,8 +117,7 @@ def extract_text_str(html: bytes | str | None) -> str | None:
     s = _RE_BLOCK_CLOSE.sub("\n", s)
     s = _RE_TAG.sub("", s)
     s = _RE_TAG_OPEN_TRAIL.sub("", s)
-    for ent, rep in _ENTITIES:
-        s = s.replace(ent, rep)
+    s = _RE_ENTITY.sub(_entity_sub, s)
     s = _RE_SPACES.sub(" ", s)
     s = _RE_LINE_EDGE.sub("", s)
     s = _RE_EMPTY_LINES.sub("\n", s).strip("\n")
@@ -148,9 +154,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     """Vectorized extraction over an Arrow batch (pandas .str ops end-to-end;
     no per-row Python). Same regexes as extract_text_str."""
     s = _to_str_series(html)
-    s = s.str.replace(_RE_SCRIPT, "", regex=True)
-    s = s.str.replace(_RE_STYLE, "", regex=True)
-    s = s.str.replace(_RE_COMMENT, "", regex=True)
+    s = s.str.replace(_RE_DROP, "", regex=True)
     # fallback chain: main -> unclosed main -> body -> unclosed body -> as-is
     extracted = s.str.extract(_RE_MAIN, expand=False)
     for rx in (_RE_MAIN_OPEN, _RE_BODY, _RE_BODY_OPEN):
@@ -160,8 +164,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     s = s.str.replace(_RE_BLOCK_CLOSE, "\n", regex=True)
     s = s.str.replace(_RE_TAG, "", regex=True)
     s = s.str.replace(_RE_TAG_OPEN_TRAIL, "", regex=True)
-    for ent, rep in _ENTITIES:
-        s = s.str.replace(ent, rep, regex=False)
+    s = s.str.replace(_RE_ENTITY, _entity_sub, regex=True)
     s = s.str.replace(_RE_SPACES, " ", regex=True)
     s = s.str.replace(_RE_LINE_EDGE, "", regex=True)
     s = s.str.replace(_RE_EMPTY_LINES, "\n", regex=True).str.strip("\n")
