@@ -66,6 +66,13 @@ def similarity_edges(
     """
     from pyspark import StorageLevel
 
+    # Small-file inputs (a single parquet file → 1-2 partitions) would run
+    # the signature UDF on one core; spread them first. The shuffle moves
+    # only the (id, name) projection — negligible next to the sketch CPU.
+    par = names.sparkSession.sparkContext.defaultParallelism
+    if names.rdd.getNumPartitions() < min(par, 8):
+        names = names.repartition(par)
+
     minhash = make_minhash_udf(k=k, shingle=shingle, n=n)
     sigs = names.select(
         F.col(id_col).alias("id"),

@@ -82,6 +82,11 @@ def simhash_near_dup_pairs(
     band, union, exact bit_count(XOR) filter. Entirely JVM after the sketch.
     """
     sim = make_simhash_udf()
+    # spread small-file inputs before the sketch UDF (same rationale as
+    # similarity_edges: a 1-partition parquet would sketch on one core)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min(par, 8):
+        docs = docs.repartition(par)
     s = docs.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh")).localCheckpoint()
     bands = [
         s.select(
