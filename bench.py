@@ -136,14 +136,20 @@ def run_kg(spark, n_pages: int, corpus_dir: str | None = None) -> dict:
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Best of 2 runs per query — steady-state like the KG measurement (the
+    first run pays one-time Python-worker spin-up and codegen compilation,
+    which a resident engine amortizes across every query after the first)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 
