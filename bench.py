@@ -114,7 +114,9 @@ def run_kg(spark, n_pages: int, corpus_dir: str | None = None) -> dict:
     warm.canon_map.unpersist()
 
     best = None
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+    # 3 reps, best-of: identical back-to-back runs on this shared host vary
+    # up to 2× with co-tenant bursts; the min is the honest quiet number.
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
         t0 = time.time()
         r = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
         n_edges = r.edges.count()  # fills the triples cache, forces extract→triples→canon→edges
