@@ -83,8 +83,11 @@ def triples_stage(extracted: DataFrame) -> DataFrame:
         .select(
             F.expr("substring(sentence, 1, __pos - 1)").alias("subj"),
             "pred",
+            # strip ONE trailing '.' only when a character precedes it — the
+            # oracle's `(.+?)\.?$` keeps obj="." for a bare-dot remainder
+            # (fuzz-found divergence, tests/test_fuzz_parity.py)
             F.regexp_replace(
-                F.expr("substring(sentence, __pos + length(pred) + 2)"), r"\.$", ""
+                F.expr("substring(sentence, __pos + length(pred) + 2)"), r"(?<=.)\.$", ""
             ).alias("obj"),
             "url",
             "warc_ts",

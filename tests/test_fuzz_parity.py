@@ -1,0 +1,96 @@
+"""Property tests: the two triple-parse implementations (JVM codegen regex vs
+Python fused regex) and the two extraction implementations (scalar oracle vs
+vectorized pandas) must agree on ADVERSARIAL inputs, not just the corpus —
+different regex engines (java.util.regex vs re) are the real divergence risk.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from docprocai_service_spark.functions.text import (
+    extract_text_series,
+    extract_text_str,
+    parse_triple,
+    split_sentences,
+)
+
+# Alphabet that exercises the grammar's edge cases: predicate words, sentence
+# punctuation, whitespace runs, HTML-ish fragments, unicode.
+_WORDS = st.sampled_from(
+    ["acme", "corp", "owns", "acquired", "founded", "is", "located", "in",
+     "headquartered", "partnered", "with", "sued", "employs", "x", "ü", "é",
+     "", ".", "!", "?", "<p>", "</p>", "&amp;", "a.b", "7"]
+)
+_TEXT = st.lists(_WORDS, min_size=0, max_size=30).map(" ".join)
+_HTML = st.lists(_WORDS, min_size=0, max_size=40).map(
+    lambda ws: "<html><body><main><p>" + " ".join(ws) + ".</p></main></body></html>"
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_HTML)
+def test_extract_scalar_equals_vectorized(html):
+    import pandas as pd
+
+    scalar = extract_text_str(html.encode("utf-8"))
+    vec = extract_text_series(pd.Series([html.encode("utf-8")])).iloc[0]
+    assert scalar == vec
+
+
+@pytest.fixture(scope="module")
+def fuzz_sentences():
+    """One deterministic batch of adversarial sentences for the Spark-level
+    cross-engine comparison (hypothesis drives the pure-Python side; the JVM
+    comparison batches everything into two Spark jobs)."""
+    import random
+
+    rnd = random.Random(1234)
+    words = ["acme", "corp", "owns", "acquired", "founded", "is located in",
+             "employs", "x", ".", "?", "a.b", "ü", "", "with", "sued"]
+    sents = []
+    for i in range(400):
+        n = rnd.randrange(0, 12)
+        sents.append(" ".join(rnd.choice(words) for _ in range(n)))
+    # hand-picked nasties: empty obj, double predicates, trailing dots,
+    # predicate at the edges, only-predicate sentences
+    sents += [
+        "acme owns", "owns acme", "acme owns .", "a owns b owns c",
+        "acme acquired b. corp sued d", "owns", " owns ", "a owns b..",
+        "a is located in b", "a is located in", "x employs y employs z.",
+        "a owns b. c owns d", "..", "a  owns  b",
+    ]
+    return sents
+
+
+def test_jvm_triple_parse_equals_python_on_adversarial(spark, fuzz_sentences):
+    """triples_stage's JVM scan+carve vs the fused path's anchored regex vs
+    the scalar oracle, on adversarial sentences embedded in real pages."""
+    import datetime
+
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.triples import fused_triples_stage, triples_stage
+
+    rows = []
+    for i, s in enumerate(fuzz_sentences):
+        html = f"<html><body><main><p>{s}</p></main></body></html>".encode()
+        rows.append((f"u{i:04d}", datetime.datetime(2024, 1, 1), html, None, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).localCheckpoint()
+    cols = ["subj", "pred", "obj", "url", "sent_no"]
+    staged = sorted(map(tuple, triples_stage(extract_stage(pages)).select(*cols).collect()))
+    fused = sorted(map(tuple, fused_triples_stage(pages).select(*cols).collect()))
+    # scalar oracle
+    want = []
+    for i, s in enumerate(fuzz_sentences):
+        text = extract_text_str(f"<html><body><main><p>{s}</p></main></body></html>".encode())
+        for sent_no, sent in enumerate(split_sentences(text)):
+            t = parse_triple(sent)
+            if t and t[0] and t[2]:
+                want.append((t[0], t[1], t[2], f"u{i:04d}", sent_no))
+    want = sorted(want)
+    assert fused == want, "fused path diverges from the scalar oracle"
+    assert staged == want, "JVM path diverges from the scalar oracle"
