@@ -430,6 +430,57 @@ def simhash_near_dup_docs(spark, sf_dir):
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
 
 
+def ngram_jaccard_docs(spark, sf_dir):
+    """Exact word-n-gram Jaccard pairs, LSH-pruned (rows-only: LSH candidate
+    generation is not SQL-expressible; pinned by threshold-monotonicity and
+    planted-pair tests)."""
+    from docprocai_service_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def winnow_fingerprint_docs(spark, sf_dir):
+    """Winnowing document fingerprints (rolling k-gram hash windows — the
+    MOSS scheme; rows-only, numpy sliding-window UDF)."""
+    from docprocai_service_spark.operators.textstats import make_winnow_udf
+
+    d = _t(spark, sf_dir, "documents")
+    winnow = make_winnow_udf(k=8, w=16)
+    return d.select("doc_id", F.size(winnow(F.col("text"))).alias("n_fingerprints"))
+
+
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF approximate top-k (bounded-sample k-means quantizer + nprobe
+    search) — the FAISS-style counterpart of the sign-LSH ANN (rows-only:
+    approximate by construction; recall-vs-exact pinned by test)."""
+    from docprocai_service_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_train_centroids(emb, dim=len(q), n_lists=8, iters=5)
+    assigned = ivf_assign(emb, cent)
+    out = ivf_topk(assigned, cent, q, k=10, nprobe=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def title_segments_docs(spark, sf_dir):
+    """Batch titling with token-budget packing + rewind (§2.5 LLM-batching
+    shape, deterministic stub titler; rows-only — per-group stateful loop)."""
+    from docprocai_service_spark.operators.titling import title_segments
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("parent_id"),
+        F.col("doc_id").alias("position"),
+        "text",
+    )
+    return title_segments(d, budget_tokens=256)
+
+
 # =====================================================================
 # KG pipeline over the synthetic corpus (non-SQL: rows-only checks)
 # =====================================================================
@@ -511,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "title_segments_docs": title_segments_docs,
         "kg_triples": kg_triples,
         "kg_linked_mentions": kg_linked_mentions,
         "kg_edges": kg_edges,
