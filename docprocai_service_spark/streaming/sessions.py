@@ -126,6 +126,130 @@ def session_stats_stream_dynamic(
     )
 
 
+def stateful_dynamic_sessions_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sim_threshold: float = 0.9,
+    min_session_s: int = 15,
+    idle_close_s: int | None = 3600,
+) -> DataFrame:
+    """The reference's CONTENT-dependent segmentation as a true custom
+    stateful streaming operator (applyInPandasWithState). session_window
+    cannot express this rule — the gap there is a per-event duration, but the
+    reference closes a segment when the SIMILARITY between consecutive frames
+    drops (reference: fileextractlib/VideoProcessor.py:92-174): the boundary
+    depends on the content of two adjacent events, i.e. on state.
+
+    State per user: (last_value, last_ts, session_start, n_events). Each
+    micro-batch is processed in event order; a session closes when the
+    dynamic rule fires (sim < θ AND elapsed ≥ min) or the processing-time
+    timeout expires (idle users — bounds state size, the §2.9 watermark
+    role). Closed sessions are emitted; the open one rides in state across
+    micro-batches (exactly the reference's in-flight segment).
+
+    idle_close_s=None disables the idle timeout (GroupStateTimeout.NoTimeout).
+    REQUIRED for trigger(availableNow) drains: a pending processing-time
+    timeout counts as future work, so availableNow never terminates with one
+    armed (verified empirically on Spark 4.1). Live processingTime-trigger
+    deployments set it to bound state size.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    out_schema = "user_id long, session_id long, n_events long, start_ts timestamp, end_ts timestamp"
+    state_schema = (
+        "last_value double, last_ts long, start_ts long, n_events long, next_session_id long"
+    )
+
+    def _empty_out():
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"), "session_id": pd.Series(dtype="int64"),
+             "n_events": pd.Series(dtype="int64"),
+             "start_ts": pd.Series(dtype="datetime64[us]"),
+             "end_ts": pd.Series(dtype="datetime64[us]")}
+        )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        # the input iterator must always be drained, and at least one frame
+        # must always be yielded — abandoning either desyncs the Arrow
+        # worker protocol (observed as executor-side EOFException)
+        frames = [p for p in pdfs if len(p)]
+        if state.hasTimedOut:
+            if state.exists:
+                lv, lt, st, n, sid = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "session_id": [sid], "n_events": [n],
+                     "start_ts": [pd.Timestamp(st, unit="us")],
+                     "end_ts": [pd.Timestamp(lt, unit="us")]}
+                )
+            else:
+                yield _empty_out()
+            return
+        if not frames:
+            # fn is also invoked for in-state keys absent from this batch:
+            # keep the open session, re-arm the idle timeout
+            if state.exists and idle_close_s is not None:
+                state.setTimeoutDuration(idle_close_s * 1000)
+            yield _empty_out()
+            return
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        if state.exists:
+            lv, lt, st, n, sid = state.get
+        else:
+            lv, lt, st, n, sid = None, None, None, 0, 1
+        closed = {"user_id": [], "session_id": [], "n_events": [], "start_ts": [], "end_ts": []}
+        for ts, val in zip(rows["ts"], rows["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            if n == 0:
+                st, n = t_us, 1
+            else:
+                sim = 1.0 / (1.0 + abs(val - lv))
+                if sim < sim_threshold and (t_us - lt) / 1e6 >= min_session_s:
+                    closed["user_id"].append(user_id)
+                    closed["session_id"].append(sid)
+                    closed["n_events"].append(n)
+                    closed["start_ts"].append(pd.Timestamp(st, unit="us"))
+                    closed["end_ts"].append(pd.Timestamp(lt, unit="us"))
+                    sid += 1
+                    st, n = t_us, 1
+                else:
+                    n += 1
+            lv, lt = float(val), t_us
+        state.update((lv, lt, st, n, sid))
+        if idle_close_s is not None:
+            state.setTimeoutDuration(idle_close_s * 1000)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+        else:
+            yield _empty_out()
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout if idle_close_s is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
 def run_sessions_available_now(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
     gap: str = "30 minutes",

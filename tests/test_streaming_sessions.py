@@ -86,6 +86,61 @@ def test_streaming_dynamic_gap_sessions(spark, tmp_path):
     assert per_user.get(2) == 1  # long gap merged them
 
 
+def test_stateful_dynamic_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState content-dependent sessionizer == batch
+    dynamic_sessionize for every CLOSED session, with state carrying the open
+    session across micro-batches."""
+    from docprocai_service_spark.streaming.sessions import (
+        dynamic_sessionize,
+        stateful_dynamic_sessions_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 0.50, None),
+        (2, "2024-01-01 10:00:10", 1, "a", 0.52, None),
+        (3, "2024-01-01 10:00:15", 1, "a", 9.99, None),   # jump, <15s: held
+        (4, "2024-01-01 10:00:35", 1, "a", 0.01, None),   # jump, 20s: closes s1
+        (5, "2024-01-01 10:02:15", 1, "a", 0.02, None),
+        (6, "2024-01-01 10:05:00", 1, "a", 8.00, None),   # closes s2
+        (7, "2024-01-01 09:00:00", 2, "b", 1.00, None),
+        (8, "2024-01-01 09:10:00", 2, "b", 5.00, None),   # closes u2 s1
+    ]
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            rs, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    in_dir, out_dir = str(tmp_path / "sin"), str(tmp_path / "sout")
+
+    def drain():
+        q = (
+            stateful_dynamic_sessions_stream(spark, in_dir, idle_close_s=None)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "sck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # two micro-batches split MID-SESSION: state must carry the open session
+    df_of(rows[:3]).write.mode("append").parquet(in_dir)
+    drain()
+    df_of(rows[3:]).write.mode("append").parquet(in_dir)
+    drain()
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch truth: all sessions; the stream emits only CLOSED ones (each
+    # user's last session is still open in state)
+    batch = dynamic_sessionize(df_of(rows), sim_threshold=0.9, min_session_s=15)
+    want_all = {(r["user_id"], r["session_id"]): r["n_events"] for r in batch.collect()}
+    open_sessions = {max(k for k in want_all if k[0] == u) for u in {1, 2}}
+    want_closed = {k: v for k, v in want_all.items() if k not in open_sessions}
+    assert got == want_closed
+
+
 def test_streaming_sessions_drop_late_past_watermark(spark, tmp_path):
     """VERDICT item 10: out-of-order events arriving AFTER the watermark has
     passed their session must be dropped, not corrupt closed sessions —
