@@ -98,13 +98,13 @@ class StageStore:
         it; a leaked .swap dir is cleaned on the next upsert."""
         import shutil
 
+        swap = self.path(stage) + ".swap"
+        shutil.rmtree(swap, ignore_errors=True)  # clear any crash-leaked swap
         if self.is_done(stage):
             old = self.read(stage)
             new_keys = df.select(*keys).distinct()
             kept = old.join(new_keys, keys, "left_anti")
             merged = kept.unionByName(df)
-            swap = self.path(stage) + ".swap"
-            shutil.rmtree(swap, ignore_errors=True)
             merged.write.mode("overwrite").parquet(swap)
             self.invalidate(stage)  # manifest+_SUCCESS gone BEFORE the dir swap
             shutil.rmtree(self.path(stage))

@@ -81,6 +81,31 @@ def test_upsert_replaces_matching_keys(spark, tmp_path):
     assert store.is_done("seg")
 
 
+def test_upsert_torn_swap_recovers(spark, tmp_path):
+    """Crash between the old-dir removal and the swap rename leaves the stage
+    ABSENT (torn write) — the next upsert must rebuild from the incoming
+    batch and clear the leaked .swap dir, never resurrect half-merged data."""
+    import os
+    import shutil
+
+    from docprocai_service_spark.sources.manifest import StageStore
+
+    store = StageStore(spark, str(tmp_path / "torn"))
+    v1 = spark.createDataFrame([("u1", 1, "a")], "url string, warc_ts int, payload string")
+    store.upsert("seg", v1, keys=["url", "warc_ts"])
+    # simulate the crash window: merged output sits in .swap, stage dir gone
+    stage_dir = store.path("seg")
+    shutil.move(stage_dir, stage_dir + ".swap")
+    store.invalidate("seg")
+    assert not store.is_done("seg")
+    v2 = spark.createDataFrame([("u2", 1, "b")], "url string, warc_ts int, payload string")
+    store.upsert("seg", v2, keys=["url", "warc_ts"])
+    got = {r["url"]: r["payload"] for r in store.read("seg").collect()}
+    assert got == {"u2": "b"}  # rebuilt from the retry batch only
+    assert store.is_done("seg")
+    assert not os.path.exists(stage_dir + ".swap")  # leaked swap cleared
+
+
 def test_dynamic_sessionize_rule(spark):
     """New session iff similarity < θ AND elapsed ≥ min — both conditions."""
     from docprocai_service_spark.streaming.sessions import dynamic_sessionize
