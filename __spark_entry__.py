@@ -395,6 +395,13 @@ def token_counts_docs(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+def bpe_token_counts_docs(spark, sf_dir):
+    from docprocai_service_spark.operators.textstats import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
+
+
 def lang_id_docs(spark, sf_dir):
     from docprocai_service_spark.operators.textstats import lang_id
 
@@ -557,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": ann_topk_embeddings,
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
+        "bpe_token_counts_docs": bpe_token_counts_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -780,6 +788,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": f"""
             SELECT doc_id, CAST({_TOKENS} AS BIGINT) AS n_tokens FROM documents
+        """,
+        "bpe_token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "lang_id_docs": f"""
             SELECT doc_id,
