@@ -368,6 +368,18 @@ def cosine_near_dup_pairs(spark, sf_dir):
     return pairs.select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def cosine_near_dup_bucketed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed candidates (the 100 TB
+    scale path; rows-only — bucket recall is approximate by construction,
+    exact-vs-bucketed agreement pinned by test_cosine_pairs_exact_vs_bucketed)."""
+    from docprocai_service_spark.operators.similarity import cosine_pairs
+
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.4, dim=len(q), n_bits=6, exact=False)
+    return pairs.select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def ann_topk_embeddings(spark, sf_dir):
     """Sign-LSH bucketed ANN (scale path; approximate → rows-only check)."""
     from docprocai_service_spark.operators.similarity import ann_topk, bucketize
@@ -561,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_uri_docs": data_uri_docs,
         "tags_tfidf_docs": tags_tfidf_docs,
         "cosine_near_dup_pairs": cosine_near_dup_pairs,
+        "cosine_near_dup_bucketed": cosine_near_dup_bucketed,
         "ann_topk_embeddings": ann_topk_embeddings,
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
