@@ -436,10 +436,18 @@ def fingerprint_docs(spark, sf_dir):
 
 
 def minhash_near_dup_docs(spark, sf_dir):
+    """MinHash-LSH candidates + exact word-3-gram Jaccard verify ≥ 0.5.
+
+    Oracle-checked (round 3): the FINAL verified pair set equals the exact
+    SQL pair set — LSH pruning can only lose pairs, and at bands=32 (r=2)
+    the miss probability at s=0.5 is (1-0.25)^32 ≈ 1e-4, so on the test
+    corpus recall is 1 and the DuckDB crossJoin oracle pins the whole
+    operator end-to-end (candidate recall stays covered by planted-pair
+    pytest oracles at the default r=4 config)."""
     from docprocai_service_spark.operators.dedup import minhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d, threshold=0.5)
+    pairs = minhash_near_dup_pairs(d, threshold=0.5, k=64, bands=32)
     return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -450,12 +458,13 @@ def simhash_near_dup_docs(spark, sf_dir):
 
 
 def ngram_jaccard_docs(spark, sf_dir):
-    """Exact word-n-gram Jaccard pairs, LSH-pruned (rows-only: LSH candidate
-    generation is not SQL-expressible; pinned by threshold-monotonicity and
-    planted-pair tests)."""
+    """Exact word-n-gram Jaccard pairs, LSH-pruned. Oracle-checked (round 3)
+    with the recall-hardened bands=32 config — see minhash_near_dup_docs."""
     from docprocai_service_spark.operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3, k=64, bands=32
+    )
     return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -599,6 +608,37 @@ _EN = r"\b(the|and|of|to|is|in|that|with)\b"
 _DE = r"\b(der|die|das|und|ist|ein|mit|von)\b"
 _FR = r"\b(le|la|les|et|est|un|une|dans)\b"
 _TOKENS = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+
+
+# Exact word-3-gram Jaccard ≥ 0.5 over all doc pairs — the DuckDB twin of the
+# LSH entries' verify step (tokenization mirrors functions/hashing.py
+# _shingle_list word mode: lower, whitespace-run split, n-grams space-joined,
+# whole-text gram when ≤ 3 tokens, DISTINCT gram sets).
+_NGRAM_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents
+    ),
+    gsets AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                    WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))
+               END AS gs
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CASE WHEN len(a.gs) = 0 AND len(b.gs) = 0 THEN 1.0
+                    ELSE len(list_intersect(a.gs, b.gs)) * 1.0
+                         / len(list_distinct(a.gs || b.gs))
+               END AS j
+        FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -842,7 +882,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
         """,
-        # minhash_near_dup_docs, simhash_near_dup_docs, ann_topk_embeddings,
+        # minhash_near_dup_docs / ngram_jaccard_docs: the VERIFIED pair set is
+        # SQL-expressible (exact word-3-gram Jaccard ≥ 0.5 over a bounded
+        # crossJoin); LSH pruning can only LOSE pairs, and the bands=32
+        # entries make the miss probability ~1e-4 at the threshold, so set
+        # equality holds on the test corpus and pins the verify UDF exactly.
+        "minhash_near_dup_docs": _NGRAM_JACCARD_PAIRS_SQL,
+        "ngram_jaccard_docs": _NGRAM_JACCARD_PAIRS_SQL,
+        # simhash_near_dup_docs, ann_topk_embeddings,
         # kg_triples, kg_linked_mentions, kg_edges: non-SQL-expressible
         # (LSH banding / iterative components / pandas-UDF sketches) →
         # rows-only checks by design.

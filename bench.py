@@ -359,7 +359,7 @@ def scaling() -> None:
 
     os.makedirs("BENCH", exist_ok=True)
     lines = [
-        "# BENCH — two-parallelism-level scaling runs (sandbox protocol)\n",
+        "## Shared-JVM local[N] levels (round-2 protocol)\n",
         "Identical KG job (extract → triples → link → canonicalize → edges +",
         "linked-mentions) on the same deterministic parquet corpus",
         f"({pairs[0][2]['n_pages']} pages, {pairs[0][2]['n_triples']} triples, seed=42),",
@@ -394,16 +394,147 @@ def scaling() -> None:
             f"| **{eff:.3f}** | {ceil:.3f} | {mceil:.3f} | {eff / mceil:.3f} |"
         )
     lines.append("\nefficiency = rate(4N) / (4 × rate(N)); target ≥ 0.8 per BASELINE.json.\n")
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines))
+    _patch_baseline_md("shared-jvm", "\n".join(lines))
     print(json.dumps([{ "n": n, "n4": n4, "eff": round(eff, 3), "ceiling": ceilings[(n, n4)],
                         "mem_ceiling": mem_ceilings[(n, n4)],
                         "rate_n": rn["triples_per_sec"], "rate_4n": r4n["triples_per_sec"]}
                       for n, n4, rn, r4n, eff in pairs]))
 
 
+def _patch_baseline_md(section: str, body: str) -> None:
+    """Replace the sentinel-delimited `section` of BENCH/BASELINE.md in place
+    (create file/section if absent) so measured tables can be re-generated
+    without clobbering the hand-written analysis around them."""
+    os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/BASELINE.md"
+    start, end = f"<!-- {section}:start -->", f"<!-- {section}:end -->"
+    text = open(path).read() if os.path.exists(path) else "# BENCH — scaling runs\n"
+    block = f"{start}\n{body}\n{end}"
+    if start in text and end in text:
+        pre, rest = text.split(start, 1)
+        _, post = rest.split(end, 1)
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def scaling_cluster() -> None:
+    """N vs 4N EXECUTORS as real separate JVMs → BENCH/BASELINE.md.
+
+    This is the cluster-faithful stand-in for the north rule: each level is a
+    `local-cluster[n_exec, cores, mem_mb]` master — n_exec REAL executor JVM
+    processes with PRIVATE heaps and GC (unlike local[N]'s shared-heap
+    threads), the package shipped to them spark-submit-`--py-files`-style
+    (session._package_zip + addPyFile), Python UDF workers spawned per
+    executor. The executor SHAPE (cores, heap) is held constant within a
+    pair; only the executor COUNT changes N→4N — exactly the BASELINE.json
+    criterion. The whole process tree is taskset-pinned to n_exec*cores host
+    cores so each level is an honest N-core slice of the box.
+
+    Round-2 context this exists to settle: shared-JVM local[N] saturated at
+    (4→16 cores)=0.565, attributed to shared-heap allocation contention.
+    Private per-executor heaps remove that term; what remains is real shuffle
+    + scheduler cost, which is what a 1000-executor cluster would see.
+    """
+    scaling_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "100000"))
+    import tempfile
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{scaling_pages}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from docprocai_service_spark.corpus import distributed_pages
+        spark = make_spark(CPUS)
+        distributed_pages(spark, scaling_pages).write.mode("overwrite").parquet(corpus_dir)
+        spark.stop()
+
+    # (executor_count, cores_per_executor, worker_mem_mb) levels. Executor
+    # shape fixed per pair: 2-core/3g and 4-core/6g executors — the same
+    # cores:heap ratio a real cluster uses. Pairs = 1→4 and 2→8 executors.
+    shapes = {
+        (2, 3072): [1, 4],          # 2→8 total cores
+        (4, 6144): [1, 2, 4, 8],    # 4→16 and 8→32 total cores
+    }
+    levels = [(n, c, m) for (c, m), ns in shapes.items() for n in ns]
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+
+    def run_at(n_exec: int, cores: int, mem_mb: int) -> dict:
+        total = n_exec * cores
+        load = open("/proc/loadavg").read().split()[0]
+        env = {**os.environ,
+               "SPARK_GRAFT_MASTER": f"local-cluster[{n_exec},{cores},{mem_mb}]",
+               "SPARK_GRAFT_CPUS": str(total), "SPARK_GRAFT_SF_DIR": SF_DIR,
+               "SPARK_GRAFT_BENCH_REPS": "1",
+               "SPARK_GRAFT_BENCH_PAGES": str(scaling_pages)}
+        cmd = ["taskset", "-c", f"0-{total - 1}", sys.executable, __file__, "--kg-only"]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["loadavg_at_start"] = load
+        return r
+
+    best: dict[tuple, dict] = {}
+    for _ in range(rounds):
+        for lvl in levels:
+            r = run_at(*lvl)
+            if lvl not in best or r["kg_wall_s"] < best[lvl]["kg_wall_s"]:
+                best[lvl] = r
+
+    # mem-bandwidth ceiling per core pair (same probe as --scaling): on this
+    # shared box aggregate DRAM bandwidth is the binding resource; a real
+    # cluster's bandwidth scales WITH executor count.
+    import multiprocessing as mp
+
+    def _agg_stream(n: int) -> float:
+        with mp.Pool(n) as p:
+            return sum(p.map(_stream_2s, range(n)))
+
+    pair_list = [((1, 2, 3072), (4, 2, 3072)), ((1, 4, 6144), (4, 4, 6144)),
+                 ((2, 4, 6144), (8, 4, 6144))]
+    mem_ceilings = {}
+    for lo, hi in pair_list:
+        mem_ceilings[(lo, hi)] = round(
+            _agg_stream(hi[0] * hi[1]) / (4 * _agg_stream(lo[0] * lo[1])), 3)
+
+    lines = [
+        "## Multi-JVM local-cluster levels (round-3: REAL separate executors)\n",
+        "Same KG job and corpus as above, but each level runs"
+        " `local-cluster[n,cores,mem]` — n separate executor JVM processes with",
+        "private heaps, package shipped via addPyFile (spark-submit --py-files",
+        "equivalent), process tree taskset-pinned to n*cores host cores.",
+        "Executor SHAPE is constant within a pair; only executor COUNT scales",
+        "N→4N, matching BASELINE.json's criterion literally.\n",
+        "| executors × cores (heap) | total cores | triples/s | pages/s | wall s | loadavg |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {n}×{c} ({m}m) | {n * c} | {best[(n, c, m)]['triples_per_sec']} "
+        f"| {best[(n, c, m)]['pages_per_sec']} | {best[(n, c, m)]['kg_wall_s']} "
+        f"| {best[(n, c, m)].get('loadavg_at_start', '?')} |"
+        for (n, c, m) in levels
+    ] + [
+        "",
+        "| N execs | 4N execs | shape | triples/s @N | @4N | efficiency | mem ceiling | eff/mem |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    out_pairs = []
+    for lo, hi in pair_list:
+        rn, r4n = best[lo], best[hi]
+        eff = r4n["triples_per_sec"] / (4 * rn["triples_per_sec"])
+        mceil = mem_ceilings[(lo, hi)]
+        lines.append(
+            f"| {lo[0]} | {hi[0]} | {lo[1]}c/{lo[2]}m | {rn['triples_per_sec']} "
+            f"| {r4n['triples_per_sec']} | **{eff:.3f}** | {mceil:.3f} | {eff / mceil:.3f} |"
+        )
+        out_pairs.append({"n_exec": lo[0], "n4_exec": hi[0], "cores": lo[1],
+                          "eff": round(eff, 3), "mem_ceiling": mceil,
+                          "rate_n": rn["triples_per_sec"], "rate_4n": r4n["triples_per_sec"]})
+    lines.append("\nefficiency = rate(4N execs) / (4 × rate(N execs)); target ≥ 0.8.\n")
+    _patch_baseline_md("multi-jvm", "\n".join(lines))
+    print(json.dumps(out_pairs))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv and "--cluster" in sys.argv:
+        scaling_cluster()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--kg-only" in sys.argv:
         kg_only()

@@ -48,6 +48,7 @@ def similarity_edges(
     verify: str = "exact",
     shingle: str = "char",
     n: int = 3,
+    sigs_out: list | None = None,
 ) -> DataFrame:
     """(id, name) → undirected candidate edges (src, dst, sim ≥ threshold).
 
@@ -63,6 +64,13 @@ def similarity_edges(
     MinHash estimate's ~1/√k noise would coin-flip borderline pairs.
     verify='estimate' keeps the pure-JVM signature similarity (cheaper; use
     when the threshold sits in a margin, e.g. page-level dedup at 0.9).
+
+    sigs_out: the signature frame is persist()ed because both join sides and
+    the verify step reuse it; the returned edges are LAZY, so this function
+    cannot know when it is safe to unpersist. Pass a list and the persisted
+    frame is appended to it — the caller unpersists after materializing the
+    edges (canonicalize_entities does). Without it, repeated invocations in
+    one session accumulate cached blocks until memory pressure evicts them.
     """
     from pyspark import StorageLevel
 
@@ -80,6 +88,8 @@ def similarity_edges(
         minhash(F.col(name_col)).alias("sig"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # computed once, reused by both
     # join sides; persist is LAZY (no eager barrier job like localCheckpoint)
+    if sigs_out is not None:
+        sigs_out.append(sigs)
 
     banded = sigs.select("id", F.explode(band_keys(F.col("sig"), bands, k)).alias("band_key"))
     # bound hot buckets before the self-join
@@ -150,21 +160,40 @@ def connected_components(
     huge-diameter graphs swap in large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — same skeleton.
 
+    mode='twophase': alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in O(log n)
+    ROUNDS regardless of graph diameter, where min-label propagation needs
+    O(diameter). The route for web-scale near-dup graphs whose transitive
+    chains can be thousands of links long (a 10⁴-link chain exhausts
+    max_iter=25 under propagation but finishes in ~⌈log⌉ two-phase rounds).
+
     mode='auto': when the edge set is small (≤ driver_threshold — the normal
     case: edges are LSH-verified near-duplicate pairs over DISTINCT names, a
     tiny fraction of corpus size even at web scale), run an exact union-find
     on the driver instead. Result is IDENTICAL (comp = min reachable id,
     order-free) but costs one collect instead of ~2 actions × O(diameter)
     rounds of scheduler latency — the iterative loop's fixed cost was the
-    single biggest non-scaling term in the pipeline. The distributed path
-    remains the >threshold route and is exercised directly by tests.
+    single biggest non-scaling term in the pipeline. Above the threshold
+    (or when a supplied vertex set is itself above it — both probes are
+    bounded limit().count()s, never an unbounded collect), auto routes to
+    'twophase', the diameter-safe distributed formulation. 'distributed'
+    (min-label) remains available and is exercised directly by tests.
     """
     if mode == "driver":
         return _components_driver(edges, vertices)
     if mode == "auto":
         n_edges = edges.limit(driver_threshold + 1).count()
-        if n_edges <= driver_threshold:
+        vertices_small = vertices is None or (
+            vertices.limit(driver_threshold + 1).count() <= driver_threshold
+        )
+        if n_edges <= driver_threshold and vertices_small:
             return _components_driver(edges, vertices)
+        mode = "twophase"
+    if mode == "twophase":
+        return _components_two_phase(
+            edges, vertices, max_iter=max_iter,
+            reliable_checkpoint=reliable_checkpoint, on_unconverged=on_unconverged,
+        )
     sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if vertices is None:
         vertices = sym.select(F.col("src").alias("id")).distinct()
@@ -211,6 +240,105 @@ def connected_components(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
+
+
+def _components_two_phase(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iter: int = 25,
+    reliable_checkpoint: bool = False,
+    on_unconverged: str = "raise",
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", Algorithm 2/3) — the
+    O(log n)-round formulation, diameter-independent:
+
+      large-star: every node u attaches each STRICTLY LARGER neighbor to
+        m = min(N(u) ∪ {u});
+      small-star: every node u attaches its smaller-or-equal neighbors and
+        itself to m = min(N≤(u) ∪ {u}).
+
+    Each operation is one groupBy (min per center) + one join — two shuffles
+    per round, lineage truncated per round. At the fixed point the edge set
+    is a forest of stars rooted at each component's minimum id, which is
+    exactly this module's output contract (comp = MIN(member id)).
+
+    Edge invariant kept throughout: pairs are stored normalized (u < v), no
+    self-loops, distinct — both star operations only ever emit (m, x) with
+    m < x, so normalization is structural, not a per-round sort.
+    """
+    spark = edges.sparkSession
+    pairs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    pairs = _truncate_lineage(pairs, reliable_checkpoint)
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: center every node; attach larger neighbors to min
+        nbrs = pairs.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            pairs.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = nbrs.groupBy("c").agg(F.min("n").alias("mn")).select(
+            "c", F.least(F.col("mn"), F.col("c")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("m").alias("u"), F.col("n").alias("v"))  # m < c < n
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: center the LARGER endpoint; attach its smaller
+        # neighbors (and itself) to the minimum of that neighborhood
+        smap = large.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        gmin = smap.groupBy("c").agg(F.min("n").alias("m"))
+        small = (
+            smap.join(gmin, "c")
+            .select(F.col("m").alias("u"), F.col("n").alias("v"))  # attach neighbors
+            .union(gmin.select(F.col("m").alias("u"), F.col("c").alias("v")))  # attach center
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_pairs = _truncate_lineage(small, reliable_checkpoint)
+        # fixed point: identical edge sets (both are distinct + normalized,
+        # so equal counts + empty one-way difference ⇒ set equality)
+        if (
+            new_pairs.count() == pairs.count()
+            and new_pairs.subtract(pairs).limit(1).count() == 0
+        ):
+            pairs = new_pairs
+            converged = True
+            break
+        pairs = new_pairs
+    if not converged:
+        msg = (
+            f"two-phase connected_components did not reach a fixed point in "
+            f"max_iter={max_iter} rounds; components are incorrect."
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # star forest → labels: members point at roots; roots + isolated vertices
+    # (self-loop-only nodes, or extra ids from `vertices`) label themselves
+    members = pairs.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+    roots = pairs.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    labels = members.unionByName(roots).distinct()
+    all_ids = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    )
+    if vertices is not None:
+        all_ids = all_ids.union(vertices.select("id"))
+    isolated = (
+        all_ids.distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("comp", F.col("id"))
+    )
+    return labels.unionByName(isolated)
 
 
 def _components_driver(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
@@ -262,7 +390,10 @@ def _canonicalize_driver(
     r = k // bands
     buckets: dict[tuple[int, tuple[int, ...]], list[int]] = {}
     ids = [i for i, _ in rows]
-    names = {i: nm for i, nm in rows}
+    # keyed by ROW index, not id: if an entity_id appears twice with different
+    # names, each row is verified against its OWN name — same semantics as the
+    # distributed path, which joins each row's name back by position.
+    name_of = [nm for _, nm in rows]
     for idx, (eid, nm) in enumerate(rows):
         sig = minhash_signature(nm, k=k)
         for b in range(bands):
@@ -288,7 +419,7 @@ def _canonicalize_driver(
         return root
 
     for a, b in cand:
-        if jaccard(names[ids[a]], names[ids[b]]) >= threshold:
+        if jaccard(name_of[a], name_of[b]) >= threshold:
             ra, rb = find(ids[a]), find(ids[b])
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -308,12 +439,13 @@ def canonicalize_entities(
     noise) collapse to one canonical id = MIN(entity_id) of the component;
     entities with no similar peer map to themselves.
 
-    mode='auto': dimension-sized inputs (≤ driver_threshold DISTINCT names —
-    probed with a bounded limit().count(), never an unbounded collect) run the
-    whole LSH+verify+union-find on the driver (_canonicalize_driver), the same
-    "small side stays local" call a broadcast join makes. Larger inputs — the
-    web-scale case — run the distributed banded join + label propagation.
-    Both paths are output-identical and tests pin that.
+    mode='auto': dimension-sized inputs run the whole LSH+verify+union-find on
+    the driver (_canonicalize_driver), the same "small side stays local" call
+    a broadcast join makes. The probe collects at most driver_threshold+1 raw
+    (entity_id, name) ROWS in one bounded job (not a distinct-name count — a
+    full result proves the input is dimension-sized and is already in hand).
+    Larger inputs — the web-scale case — run the distributed banded join +
+    components. Both paths are output-identical and tests pin that.
     """
     rows = None
     if mode == "auto":
@@ -335,10 +467,17 @@ def canonicalize_entities(
         if not mapping:
             return spark.createDataFrame([], "entity_id string, canon_id string")
         return spark.createDataFrame(mapping, "entity_id string, canon_id string")
+    sigs_holder: list = []
     edges = similarity_edges(
-        entity_names, id_col="entity_id", name_col="name", threshold=threshold
+        entity_names, id_col="entity_id", name_col="name", threshold=threshold,
+        sigs_out=sigs_holder,
     )
     comps = connected_components(edges)
+    # every connected_components route has materialized `edges` by now (driver:
+    # collect; twophase/distributed: eager lineage truncation) — the signature
+    # cache has served its purpose and must not accumulate across invocations.
+    for cached in sigs_holder:
+        cached.unpersist()
     return (
         entity_names.select(F.col("entity_id"))
         .join(comps.withColumnRenamed("id", "entity_id"), "entity_id", "left")

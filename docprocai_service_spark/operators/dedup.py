@@ -87,7 +87,14 @@ def simhash_near_dup_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < min(par, 8):
         docs = docs.repartition(par)
-    s = docs.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh")).localCheckpoint()
+    # Lazy persist, NOT localCheckpoint: no eager barrier job, and blocks are
+    # re-derivable from lineage — localCheckpoint blocks are non-replicated,
+    # so on a real cluster one lost executor would kill the whole query.
+    from pyspark import StorageLevel
+
+    s = docs.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = [
         s.select(
             "id",
@@ -123,13 +130,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard pairs, LSH-pruned (thin wrapper)."""
+    """Exact word-n-gram Jaccard pairs, LSH-pruned (thin wrapper).
+
+    k/bands tune LSH recall at the threshold: rows-per-band r = k/bands, and
+    a true pair at similarity s survives with 1-(1-s^r)^bands. At a LOW
+    threshold like 0.5, r=4 misses ~35% of borderline pairs — use bands=32
+    (r=2, miss ≈ 1e-4) when the output must equal the exact pair set."""
     edges = similarity_edges(
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("name")),
         threshold=threshold,
         verify="exact",
         shingle="word",
         n=n,
+        k=k,
+        bands=bands,
     )
     return edges.select(F.col("src").alias("id1"), F.col("dst").alias("id2"), F.col("sim").alias("jaccard"))

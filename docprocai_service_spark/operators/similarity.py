@@ -152,6 +152,18 @@ def ivf_assign(vectors: DataFrame, centroids: np.ndarray, vec_col: str = "embedd
     return vectors.withColumn("list_id", assign_udf(F.col(vec_col)))
 
 
+def ivf_write_index(assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF index partitioned by list_id — the layout that
+    makes ivf_topk's nprobe IN-list a PARTITION filter: probing 4 of 256
+    lists reads 4/256 of the files (plan-asserted in tests/test_plans.py),
+    which at 100 TB is the difference between an index probe and a scan."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

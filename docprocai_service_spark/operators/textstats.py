@@ -92,22 +92,50 @@ def fingerprint_md5(text: Column) -> Column:
 def make_winnow_udf(k: int = 8, w: int = 16):
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): min crc32 over
     each window of k-gram hashes, distinct-set, returned sorted — a compact
-    rolling-hash document sketch robust to local edits. Arrow-batched."""
+    rolling-hash document sketch robust to local edits. Arrow-batched.
+
+    Vectorized with the same flat-batch scheme as make_minhash_udf
+    (functions/hashing.py:88): k-grams are deduped into ONE batch-level
+    unique table, crc32+encode run once per DISTINCT gram (8-char grams
+    repeat heavily across a web batch), rows gather their hash streams from
+    the shared table, and the windowed min is a per-row
+    sliding_window_view().min() — C loops throughout. Output is
+    bit-identical to the naive per-gram-crc32 formulation (golden-tested)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow_udf(texts: pd.Series) -> pd.Series:
-        out = []
+        uniq: dict[str, int] = {}
+        row_idx: list[np.ndarray] = []
         for t in texts:
             if not t or len(t) < k:
+                row_idx.append(np.empty(0, dtype=np.int64))
+                continue
+            idx = np.empty(len(t) - k + 1, dtype=np.int64)
+            for i in range(len(t) - k + 1):
+                g = t[i : i + k]
+                j = uniq.get(g)
+                if j is None:
+                    j = len(uniq)
+                    uniq[g] = j
+                idx[i] = j
+            row_idx.append(idx)
+        if uniq:
+            base = np.fromiter(
+                (zlib.crc32(g.encode("utf-8")) for g in uniq), dtype=np.int64, count=len(uniq)
+            )
+        else:
+            base = np.empty(0, dtype=np.int64)
+        out = []
+        for idx in row_idx:
+            if idx.size == 0:
                 out.append([])
                 continue
-            grams = [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
-            arr = np.array(grams, dtype=np.int64)
-            if len(arr) <= w:
-                out.append(sorted({int(arr.min())}))
+            arr = base[idx]
+            if arr.size <= w:
+                out.append([int(arr.min())])
                 continue
             view = np.lib.stride_tricks.sliding_window_view(arr, w)
-            out.append(sorted({int(x) for x in view.min(axis=1)}))
+            out.append(np.unique(view.min(axis=1)).tolist())
         return pd.Series(out)
 
     return winnow_udf

@@ -71,12 +71,35 @@ class PipelineResult:
 
     def n_triples(self) -> int:
         """Triple count. In store mode it is in metrics (counted at write);
-        in the lazy no-store mode it comes from the observe() accumulator —
-        call AFTER an action has consumed the pipeline (e.g. edges.count()),
-        so the count costs zero extra Spark jobs."""
+        in the lazy no-store mode it comes from the observe() accumulator
+        when one has fired, else falls back to a direct count().
+
+        Observation caveat (not fixable at this layer): the observe node
+        records only the FIRST action that touches it, and `triples` is
+        persist()ed — if that first action is PARTIAL (e.g. `.show()`,
+        `.limit(k).collect()`), the observation under-counts permanently
+        because later full actions read cached partitions and bypass the
+        observe node. Consumers that take partial actions first must use
+        `result.triples.count()` themselves. The non-blocking fired-probe
+        below guarantees this method never hangs when no action has run —
+        it counts directly instead (filling the cache, i.e. the same cost
+        any first full action would pay)."""
         if "n_triples" in self.metrics:
             return self.metrics["n_triples"]
-        return int(self.triples_obs.get["n_triples"])
+        n = None
+        if self.triples_obs is not None and self._obs_fired():
+            n = int(self.triples_obs.get["n_triples"])
+        if n is None:
+            n = self.triples.count()
+        self.metrics["n_triples"] = n
+        return n
+
+    def _obs_fired(self) -> bool:
+        """Non-blocking: has the observe() node seen an action complete?"""
+        try:
+            return bool(self.triples_obs._jo.getRowOrEmpty().isDefined())
+        except Exception:
+            return False  # Observation internals unavailable → use count()
 
 
 def run_pipeline(

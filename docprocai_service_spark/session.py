@@ -14,8 +14,34 @@ partition count instead of the 200 default.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+_LOCAL_CLUSTER = re.compile(r"local-cluster\[(\d+),(\d+),(\d+)\]")
+
+
+def _package_zip() -> str:
+    """Zip this package for distribution to executors — the programmatic
+    equivalent of `spark-submit --py-files pkg.zip` (north_rule's submit
+    mode). Rebuilt at most once per process; executors' Python workers
+    import the package from the shipped zip, not from a shared filesystem."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), f"docprocai_service_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "docprocai_service_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+    return out
 
 
 def get_spark(
@@ -23,14 +49,25 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the SparkSession.
 
     cores: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS or "*".
+    master: explicit master URL (or $SPARK_GRAFT_MASTER) overrides `cores` —
+      `local-cluster[n,c,m]` runs n REAL separate executor JVMs with c cores
+      and m MB each (the multi-executor stand-in for the north_rule's
+      N-vs-4N-executor cluster sizing; each executor has a private heap and
+      GC, unlike local[N]'s shared-heap threads).
     """
-    if cores is None:
-        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    lc = _LOCAL_CLUSTER.fullmatch(master) if master else None
+    if master is None:
+        if cores is None:
+            cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cores}]"
+    elif lc and cores is None:
+        cores = int(lc.group(1)) * int(lc.group(2))  # total task slots
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(cores) if str(cores).isdigit() else n
@@ -63,9 +100,18 @@ def get_spark(
         # JVM case mapping is identical for the ASCII join keys used here.
         .config("spark.sql.icu.caseMappings.enabled", "false")
     )
+    if lc:
+        # Executor JVM sizing: the worker-memory field of local-cluster is the
+        # cap; claim all of it for the executor heap. 4-8g per 2-4 cores is
+        # the same shape a real cluster uses (see the 12g driver note above).
+        builder = builder.config("spark.executor.memory", f"{lc.group(3)}m")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if lc:
+        # Ship the package to executors exactly as spark-submit --py-files
+        # would; executor-side Python workers import from this zip.
+        spark.sparkContext.addPyFile(_package_zip())
     return spark

@@ -25,12 +25,36 @@ an Iceberg-backed implementation can swap in behind `StageStore`.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 KEYS = ["url", "warc_ts"]
+
+#: Partition column for the bucketed stage layout. Upserts rewrite only the
+#: buckets an incoming batch touches (dynamic partition overwrite) — at
+#: 100 TB this is the difference between an O(batch) and an O(table) merge.
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    """Deterministic key bucket: pmod(xxhash64(keys), n) — stable across runs
+    and executors, so the same key always lands in the same partition dir."""
+    return F.pmod(
+        F.xxhash64(*[F.col(k).cast("string") for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach a row-count observation so the WRITE job itself yields the
+    manifest count — no post-write rescan of the output (the round-2
+    count-by-rescan was a full extra table scan per stage per batch)."""
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
 class StageStore:
@@ -60,14 +84,16 @@ class StageStore:
 
     # ---------------------------------------------------------------- IO
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
-        """Overwrite the stage output; manifest committed only after _SUCCESS."""
-        writer = df.write.mode("overwrite")
+        """Overwrite the stage output; manifest committed only after _SUCCESS.
+        Row count comes from an observe() on the write job — metadata-only
+        commit, no rescan."""
+        obs_df, obs = _observed(df)
+        writer = obs_df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(stage))
-        out = self.read(stage)
-        self._commit_manifest(stage, rows=out.count(), partition_by=partition_by or [])
-        return out
+        self._commit_manifest(stage, rows=int(obs.get["rows"]), partition_by=partition_by or [])
+        return self.read(stage)
 
     def append_new(self, stage: str, df: DataFrame, keys: list[str] = KEYS) -> DataFrame:
         """Append only rows whose key tuple is not already present (idempotent).
@@ -79,49 +105,149 @@ class StageStore:
             # Materialize done-keys BEFORE appending — the anti-join must not
             # lazily re-list the directory it is being appended into.
             done = self.read(stage).select(*keys).distinct().localCheckpoint()
-            df = df.join(done, keys, "left_anti")
-            df.write.mode("append").parquet(self.path(stage))
+            obs_df, obs = _observed(df.join(done, keys, "left_anti"))
+            obs_df.write.mode("append").parquet(self.path(stage))
+            rows = self.manifest(stage)["rows"] + int(obs.get["rows"])
         else:
-            df.write.mode("overwrite").parquet(self.path(stage))
-        out = self.read(stage)
-        self._commit_manifest(stage, rows=out.count(), partition_by=[])
-        return out
+            obs_df, obs = _observed(df)
+            obs_df.write.mode("overwrite").parquet(self.path(stage))
+            rows = int(obs.get["rows"])
+        self._commit_manifest(stage, rows=rows, partition_by=[])
+        return self.read(stage)
 
-    def upsert(self, stage: str, df: DataFrame, keys: list[str] = KEYS) -> DataFrame:
+    def upsert(
+        self, stage: str, df: DataFrame, keys: list[str] = KEYS, n_buckets: int = 64
+    ) -> DataFrame:
         """MERGE semantics: rows whose key tuple already exists are REPLACED by
         the incoming rows; new keys are appended — the reference's ON CONFLICT
         DO UPDATE (persistence/SegmentDbConnector.py:101-124,
-        MediaRecordInfoDbConnector.py:26-38) as read → anti-join → union →
-        atomic directory swap. Crash windows: after the old dir is removed but
-        before the swap dir is renamed, the stage has no _SUCCESS and is
-        treated as absent (torn write) — the normal recovery path recomputes
-        it; a leaked .swap dir is cleaned on the next upsert."""
-        import shutil
+        MediaRecordInfoDbConnector.py:26-38), bucket-scoped:
 
-        swap = self.path(stage) + ".swap"
-        shutil.rmtree(swap, ignore_errors=True)  # clear any crash-leaked swap
-        if self.is_done(stage):
-            old = self.read(stage)
-            new_keys = df.select(*keys).distinct()
-            kept = old.join(new_keys, keys, "left_anti")
-            merged = kept.unionByName(df)
-            merged.write.mode("overwrite").parquet(swap)
-            self.invalidate(stage)  # manifest+_SUCCESS gone BEFORE the dir swap
-            shutil.rmtree(self.path(stage))
-            os.rename(swap, self.path(stage))
-        else:
-            df.write.mode("overwrite").parquet(self.path(stage))
-        out = self.read(stage)
-        self._commit_manifest(stage, rows=out.count(), partition_by=[])
-        return out
+        The stage is laid out partitioned by `__bucket = pmod(xxhash64(keys),
+        n_buckets)`. A merge reads ONLY the buckets the incoming batch touches
+        (partition pruning on an IN-list of ≤ n_buckets ints), anti-joins the
+        replaced keys, and rewrites ONLY those buckets via dynamic partition
+        overwrite — untouched buckets are never read or written, so merge cost
+        is O(touched buckets), not O(table).
+
+        Crash contract (no committed row is ever lost):
+          * mid-write crash: new files live in a hidden .spark-staging dir;
+            committed data + manifest untouched; replay converges.
+          * mid-commit crash (some buckets swapped): every swapped bucket holds
+            kept∪new for that bucket — a superset of nothing, a loss of
+            nothing; replaying the in-flight batch (which never got an ack)
+            converges. A leaked staging dir marks this; the next upsert then
+            recounts exactly instead of trusting manifest arithmetic.
+          * write-committed-but-manifest-missing crash: adopted on entry
+            (_SUCCESS present → re-commit manifest), never rebuilt from the
+            incoming batch alone.
+          * legacy pre-bucketed `.swap` crash window: a completed swap dir
+            (has _SUCCESS) is adopted by finishing the interrupted rename —
+            previously-committed rows survive."""
+        target = self.path(stage)
+        self._recover(stage)
+        crashed = bool(glob.glob(os.path.join(target, ".spark-staging*")))
+        dfb = df.withColumn(
+            BUCKET_COL, _bucket_expr(keys, self._n_buckets(stage, n_buckets))
+        ).persist()
+        try:
+            if self.is_done(stage) and self._is_bucketed(stage):
+                raw_old = self.spark.read.parquet(target)
+                hot = [r[0] for r in dfb.select(BUCKET_COL).distinct().collect()]
+                old_hot, obs_old = _observed(raw_old.where(F.col(BUCKET_COL).isin(hot)))
+                kept = old_hot.join(dfb.select(*keys).distinct(), keys, "left_anti")
+                merged, obs_out = _observed(kept.unionByName(dfb))
+                (
+                    merged.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(target)
+                )
+                if crashed:
+                    # a previous job died mid-commit: manifest arithmetic is
+                    # untrustworthy once — recount exactly, then clean up.
+                    rows = self.spark.read.parquet(target).count()
+                    for leak in glob.glob(os.path.join(target, ".spark-staging*")):
+                        shutil.rmtree(leak, ignore_errors=True)
+                else:
+                    rows = (
+                        self.manifest(stage)["rows"]
+                        - int(obs_old.get["rows"])
+                        + int(obs_out.get["rows"])
+                    )
+            elif self.is_done(stage):
+                # one-time migration of a legacy unbucketed stage into the
+                # bucketed layout: full merge through an atomic dir swap
+                # (recoverable — see _recover).
+                swap = target + ".swap"
+                shutil.rmtree(swap, ignore_errors=True)
+                old = self.read(stage)
+                kept = old.join(dfb.select(*keys).distinct(), keys, "left_anti").withColumn(
+                    BUCKET_COL, _bucket_expr(keys, self._n_buckets(stage, n_buckets))
+                )
+                merged, obs_out = _observed(kept.unionByName(dfb))
+                merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(swap)
+                rows = int(obs_out.get["rows"])
+                self.invalidate(stage)  # manifest+_SUCCESS gone BEFORE the dir swap
+                shutil.rmtree(target)
+                os.rename(swap, target)
+            else:
+                obs_df, obs = _observed(dfb)
+                obs_df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target)
+                rows = int(obs.get["rows"])
+            self._commit_manifest(
+                stage, rows=rows, partition_by=[BUCKET_COL],
+                n_buckets=self._n_buckets(stage, n_buckets),
+            )
+        finally:
+            dfb.unpersist()
+        return self.read(stage)
+
+    def _recover(self, stage: str) -> None:
+        """Complete interrupted upserts instead of discarding committed rows."""
+        target = self.path(stage)
+        swap = target + ".swap"
+        if not self.is_done(stage) and os.path.exists(os.path.join(swap, "_SUCCESS")):
+            # crash between invalidate() and the swap rename: the swap dir IS
+            # the complete merged output — finish the rename.
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(swap, target)
+            self._commit_manifest(
+                stage, rows=self.spark.read.parquet(target).count(),
+                partition_by=[BUCKET_COL] if self._is_bucketed(stage) else [],
+            )
+        shutil.rmtree(swap, ignore_errors=True)  # incomplete swap: safe to drop
+        if not self.is_done(stage) and os.path.exists(os.path.join(target, "_SUCCESS")):
+            # write job committed but manifest commit was interrupted: adopt.
+            self._commit_manifest(
+                stage, rows=self.spark.read.parquet(target).count(),
+                partition_by=[BUCKET_COL] if self._is_bucketed(stage) else [],
+            )
+
+    def _is_bucketed(self, stage: str) -> bool:
+        return bool(glob.glob(os.path.join(self.path(stage), f"{BUCKET_COL}=*")))
+
+    def _n_buckets(self, stage: str, default: int) -> int:
+        """Bucket count is sticky per stage (recorded in the manifest) so a
+        caller changing the default cannot silently split the layout."""
+        try:
+            return int(self.manifest(stage).get("n_buckets", default))
+        except FileNotFoundError:
+            return default
 
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(stage))
+        df = self.spark.read.parquet(self.path(stage))
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
-    def _commit_manifest(self, stage: str, rows: int, partition_by: list[str]) -> None:
+    def _commit_manifest(
+        self, stage: str, rows: int, partition_by: list[str], n_buckets: int | None = None
+    ) -> None:
+        meta = {"stage": stage, "rows": rows, "partition_by": partition_by}
+        if n_buckets is not None:
+            meta["n_buckets"] = n_buckets
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"stage": stage, "rows": rows, "partition_by": partition_by}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._manifest_path(stage))  # atomic rename
 
     # ------------------------------------------------------------ resume

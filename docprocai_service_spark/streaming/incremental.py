@@ -3,12 +3,18 @@
 The reference is event-driven but not a stream processor: Dapr pub/sub
 messages carry only ids; work is queued and processed one-at-a-time with
 at-least-once crash recovery (reference: controller/dapr_controller.py:14-44,
-service/DocProcAiService.py:639-668). The correctness-bearing mechanism here
-is the same one the batch pipeline uses — StageStore manifests + anti-join on
-done (url, warc_ts) keys — so incremental ingest is just "run the DAG over
-the keys that aren't done yet, append". Structured Streaming with
-trigger(availableNow=True) is optional sugar over that batch semantics
-(SURVEY.md §2.9).
+service/DocProcAiService.py:639-668), and every ingest re-runs linking and
+tagging over the new content (service/DocProcAiService.py:186-189,307-374).
+The correctness-bearing mechanism here is the same one the batch pipeline
+uses — StageStore manifests + anti-join on done keys — so incremental ingest
+is "run the DAG over the keys that aren't done yet, append/merge".
+
+Full-DAG incrementality (round 3): a micro-batch now flows through ALL
+stages — extract → triples → mentions → linked → (canon_map if absent) →
+additive edge merge → entities — not just the first three. The edge merge is
+bucket-scoped (StageStore.upsert dynamic partition overwrite) and ledgered
+per page so replays don't double-count; see merge_edge_deltas for the exact
+crash contract.
 
 Priority ordering (ingest < linking in the reference,
 service/DocProcAiService.py:199,293) is the literal statement order below.
@@ -16,42 +22,144 @@ service/DocProcAiService.py:199,293) is the literal statement order below.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas
+from ..operators.canonicalize import canonicalize_entities
 from ..operators.extract import extract_stage
+from ..operators.linking import link_mentions
+from ..operators.materialize import edges_table, entities_table, entity_bucket, resolve_entities
 from ..operators.triples import mentions_stage, triples_stage
 from ..sources.manifest import KEYS, StageStore
+
+EDGE_KEYS = ["src_entity", "dst_entity", "pred"]
 
 
 def incremental_ingest(
     spark: SparkSession,
     new_pages: DataFrame,
     store: StageStore,
+    alias_dict: DataFrame | None = None,
+    canon_threshold: float = 0.7,
 ) -> dict:
-    """Process only not-yet-done (url, warc_ts) keys; append to stage outputs.
+    """Process only not-yet-done (url, warc_ts) keys; append/merge per stage.
 
     At-least-once + idempotent: re-delivered pages anti-join away; a crash
     between stages re-runs from the last committed manifest (the reference's
     re-enqueue-PROCESSING sweep, without per-row state).
+
+    With `alias_dict` the batch runs the FULL DAG: new mentions are linked
+    (append by mention_id), the canonical map is computed once (it depends
+    only on the alias dictionary — recompute by invalidating 'canon_map'
+    when the dictionary changes), edge weights are merged additively and
+    bucket-scoped (merge_edge_deltas), and the entity registry is refreshed
+    (idempotent overwrite of a dimension-sized table). Without it, the batch
+    stops after mentions (round-2 behavior, kept for ingest-only callers).
     """
     todo = store.todo_keys("extracted", new_pages) if store.is_done("extracted") else new_pages
     n_new = todo.count()
     if n_new == 0:
         return {"new_pages": 0}
-    extracted = extract_stage(todo).localCheckpoint()
+    # Lazy persists (NOT eager localCheckpoint): no barrier job, blocks can
+    # re-derive from lineage on executor loss, and the first consuming action
+    # fills the cache for the later ones.
+    extracted = extract_stage(todo).persist(StorageLevel.MEMORY_AND_DISK)
     # The 'extracted' stage is the re-delivery ledger (todo_keys above), so it
     # must commit LAST: a crash after committing it but before the downstream
     # appends would make retries see n_new==0 and silently never write those
     # pages' triples/mentions. Committing downstream first keeps at-least-once:
     # a crash anywhere re-runs the page, and each append_new anti-joins away
     # rows already present (page keys for triples, mention_id for mentions).
-    triples = triples_stage(extracted).localCheckpoint()
+    triples = triples_stage(extracted).persist(StorageLevel.MEMORY_AND_DISK)
     store.append_new("triples", triples, keys=KEYS)
     mentions = mentions_stage(triples)
     store.append_new("mentions", mentions, keys=["mention_id"])
+    out = {"new_pages": n_new, "new_triples": triples.count()}
+    if alias_dict is not None:
+        store.append_new("linked", link_mentions(mentions, alias_dict), keys=["mention_id"])
+        if not store.is_done("canon_map"):
+            names = alias_dict.groupBy("entity_id").agg(
+                F.max_by("alias", F.length("alias")).alias("name")
+            )
+            store.write("canon_map", canonicalize_entities(names, threshold=canon_threshold))
+        canon_map = store.read("canon_map")
+        out["merged_edge_pages"] = merge_edge_deltas(store, alias_dict, canon_map)
+        store.write("entities", entities_table(alias_dict, canon_map))
     store.append_new("extracted", extracted, keys=KEYS)
-    return {"new_pages": n_new, "new_triples": triples.count()}
+    extracted.unpersist()
+    triples.unpersist()
+    return out
+
+
+def merge_edge_deltas(store: StageStore, alias_dict: DataFrame, canon_map: DataFrame) -> int:
+    """Additively merge edge-weight contributions of not-yet-merged pages.
+
+    Reads the committed `triples` stage for pages absent from the
+    `edges_pages` ledger, resolves them to entities, aggregates delta
+    weights, and merges: existing rows for the touched (src, dst, pred) keys
+    are read back (bucket-pruned via the upsert layout), summed with the
+    delta, and upserted — untouched buckets are never rewritten. Returns the
+    number of pages merged.
+
+    Crash contract: the page ledger commits AFTER the edge upsert, so a
+    crash between the two can double-count the in-flight pages' weights on
+    replay (the parquet backend has no multi-file atomic commit — flagged at
+    sources/manifest.py module level; an Iceberg writer commits the merge
+    and the ledger rows in one snapshot, closing the window). The repair is
+    rebuild_edges(), an O(triples-table) exact recompute. Everything else —
+    redelivery, crash before or during the merge write — replays cleanly:
+    the ledger anti-join re-derives the same contribution from the committed
+    triples stage.
+    """
+    all_triples = store.read("triples")
+    contrib = (
+        all_triples.join(store.read("edges_pages"), KEYS, "left_anti")
+        if store.is_done("edges_pages")
+        else all_triples
+    )
+    contrib = contrib.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pages = contrib.select(*KEYS).distinct()
+        n_pages = pages.count()
+        if n_pages == 0:
+            return 0
+        delta = edges_table(resolve_entities(contrib, alias_dict, canon_map)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            if store.is_done("edges"):
+                old_hot = store.read("edges").join(
+                    delta.select(*EDGE_KEYS), EDGE_KEYS, "left_semi"
+                )
+                combined = (
+                    old_hot.select(*EDGE_KEYS, "weight")
+                    .unionByName(delta.select(*EDGE_KEYS, "weight"))
+                    .groupBy(*EDGE_KEYS)
+                    .agg(F.sum("weight").cast("long").alias("weight"))
+                    .withColumn("bucket", entity_bucket(F.col("src_entity")))
+                )
+                store.upsert("edges", combined, keys=EDGE_KEYS)
+            else:
+                store.upsert("edges", delta, keys=EDGE_KEYS)
+        finally:
+            delta.unpersist()
+        store.append_new("edges_pages", pages, keys=KEYS)
+        return n_pages
+    finally:
+        contrib.unpersist()
+
+
+def rebuild_edges(store: StageStore, alias_dict: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Exact edge recompute from the committed triples stage — the repair for
+    merge_edge_deltas' documented double-count window, and the migration path
+    onto the ledgered layout for stores written by the batch pipeline."""
+    triples = store.read("triples")
+    edges = edges_table(resolve_entities(triples, alias_dict, canon_map))
+    out = store.upsert("edges", edges, keys=EDGE_KEYS)
+    store.write("edges_pages", triples.select(*KEYS).distinct())
+    return out
 
 
 def streaming_ingest(
@@ -59,6 +167,7 @@ def streaming_ingest(
     input_dir: str,
     store: StageStore,
     checkpoint_dir: str,
+    alias_dict: DataFrame | None = None,
 ) -> None:
     """Structured Streaming surface: watch a directory of web-page parquet,
     run the incremental DAG per micro-batch, stop when caught up
@@ -67,7 +176,7 @@ def streaming_ingest(
     stream = spark.readStream.schema(schemas.WEB_PAGES).parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        incremental_ingest(spark, batch_df, store)
+        incremental_ingest(spark, batch_df, store, alias_dict=alias_dict)
 
     (
         stream.writeStream.foreachBatch(process_batch)

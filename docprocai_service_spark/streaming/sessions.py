@@ -77,7 +77,12 @@ def dynamic_sessionize(events: DataFrame, sim_threshold: float = 0.9,
         return c.cast("timestamp").cast("double")
 
     elapsed = _epoch(F.col("ts")) - _epoch(prev_ts)
-    new_sess = F.when(sim.isNull() | prev_ts.isNull(), F.lit(1)).otherwise(
+    # NULL semantics match the SQL oracle exactly: only the FIRST event per
+    # user (prev_ts NULL) force-opens a session. A NULL value mid-stream makes
+    # sim NULL, so `sim < θ` is NULL, the AND is not-true, and the event stays
+    # in the open session — identical to the oracle's CASE falling to ELSE 0
+    # (the round-2 `sim.isNull()` branch diverged here on nullable values).
+    new_sess = F.when(prev_ts.isNull(), F.lit(1)).otherwise(
         F.when((sim < sim_threshold) & (elapsed >= min_session_s), 1).otherwise(0)
     )
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -132,6 +137,7 @@ def stateful_dynamic_sessions_stream(
     sim_threshold: float = 0.9,
     min_session_s: int = 15,
     idle_close_s: int | None = 3600,
+    emit: str = "closed",
 ) -> DataFrame:
     """The reference's CONTENT-dependent segmentation as a true custom
     stateful streaming operator (applyInPandasWithState). session_window
@@ -152,6 +158,18 @@ def stateful_dynamic_sessions_stream(
     timeout counts as future work, so availableNow never terminates with one
     armed (verified empirically on Spark 4.1). Live processingTime-trigger
     deployments set it to bound state size.
+
+    emit='closed' (default): append semantics — a session row is emitted
+    exactly once, when it closes. emit='updates': UPDATE semantics — every
+    trigger ALSO emits the open session's current aggregate, and an
+    out-of-order event arriving in a later micro-batch (in-watermark
+    disorder) MERGES into the open session (count + widened start bound)
+    with the amended row re-emitted; the latest emission per
+    (user_id, session_id) is the current truth. This operator is the update
+    surface because Spark itself refuses update mode for session_window
+    aggregations (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION, verified on
+    4.1 — session merge would have to retract previously-updated windows);
+    arbitrary-stateful is the documented escape hatch.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -213,6 +231,13 @@ def stateful_dynamic_sessions_stream(
             t_us = int(pd.Timestamp(ts).value // 1000)
             if n == 0:
                 st, n = t_us, 1
+            elif t_us <= lt:
+                # cross-batch in-watermark disorder: the event belongs inside
+                # the open session — merge (count + widened start), keep the
+                # sequential (lv, lt) frontier untouched
+                n += 1
+                st = min(st, t_us)
+                continue
             else:
                 sim = 1.0 / (1.0 + abs(val - lv))
                 if sim < sim_threshold and (t_us - lt) / 1e6 >= min_session_s:
@@ -229,6 +254,13 @@ def stateful_dynamic_sessions_stream(
         state.update((lv, lt, st, n, sid))
         if idle_close_s is not None:
             state.setTimeoutDuration(idle_close_s * 1000)
+        if emit == "updates" and n > 0:
+            # update surface: re-emit the open session's current aggregate
+            closed["user_id"].append(user_id)
+            closed["session_id"].append(sid)
+            closed["n_events"].append(n)
+            closed["start_ts"].append(pd.Timestamp(st, unit="us"))
+            closed["end_ts"].append(pd.Timestamp(lt, unit="us"))
         if closed["user_id"]:
             yield pd.DataFrame(closed)
         else:
@@ -244,9 +276,49 @@ def stateful_dynamic_sessions_stream(
             fn,
             outputStructType=out_schema,
             stateStructType=state_schema,
-            outputMode="append",
+            outputMode="update" if emit == "updates" else "append",
             timeoutConf=timeout_conf,
         )
+    )
+
+
+def run_sessions_update_mode(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str,
+    sim_threshold: float = 0.9, min_session_s: int = 15,
+) -> None:
+    """UPDATE-mode surface for session aggregation (VERDICT r2 #9).
+
+    Append emits a session exactly once — at close; an out-of-order event
+    within the watermark allowance merges silently and nothing is visible
+    until then. This surface re-emits a session's CURRENT aggregate on every
+    trigger that changes it, so in-watermark disorder is observable: the
+    amended row (same user/session_id, wider window, higher n_events)
+    supersedes earlier emissions. foreachBatch stamps each trigger's rows
+    with the epoch id; the latest epoch per (user_id, session_id) is the
+    current truth (the mutable-sink analog of the reference updating its
+    in-flight segment row, service/DocProcAiService.py:511-557).
+
+    Built on the custom stateful operator (emit='updates'), NOT on
+    session_window: Spark 4.1 rejects update mode for session-window
+    aggregations outright (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION —
+    merging sessions would have to retract already-updated windows), so
+    applyInPandasWithState is the supported route to an update surface with
+    session semantics."""
+    df = stateful_dynamic_sessions_stream(
+        spark, input_dir, sim_threshold=sim_threshold, min_session_s=min_session_s,
+        idle_close_s=None, emit="updates",
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
 
 

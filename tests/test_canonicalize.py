@@ -63,7 +63,7 @@ GRAPHS = {
 }
 
 
-@pytest.mark.parametrize("mode", ["driver", "distributed"])
+@pytest.mark.parametrize("mode", ["driver", "distributed", "twophase"])
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_connected_components_micro(spark, name, mode):
     edges, expected = GRAPHS[name]
@@ -72,7 +72,7 @@ def test_connected_components_micro(spark, name, mode):
     assert got == expected
 
 
-@pytest.mark.parametrize("mode", ["driver", "distributed"])
+@pytest.mark.parametrize("mode", ["driver", "distributed", "twophase"])
 def test_connected_components_singletons(spark, mode):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     verts = spark.createDataFrame([("a",), ("b",), ("lonely",)], "id string")
@@ -88,6 +88,33 @@ def test_components_unconverged_raises(spark):
         connected_components(df, mode="distributed", max_iter=1)
     with pytest.warns(RuntimeWarning, match="did not converge"):
         connected_components(df, mode="distributed", max_iter=1, on_unconverged="warn")
+
+
+def test_components_two_phase_long_chain(spark):
+    """The O(log n)-round formulation finishes a chain whose DIAMETER far
+    exceeds max_iter — the graph shape that breaks min-label propagation
+    (VERDICT r2 #3: a long transitive near-dup chain raised at max_iter=25)."""
+    n = 3000  # diameter 2999 ≫ 25 rounds
+    edges = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, mode="distributed", max_iter=25)
+    got = {r["id"]: r["comp"] for r in connected_components(df, mode="twophase", max_iter=25).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"n00000"}  # one component rooted at the min
+
+
+def test_components_two_phase_matches_driver_random(spark):
+    """Property: twophase == exact union-find on a messy random multigraph
+    (self-loops, duplicates, both orientations)."""
+    import random
+
+    rnd = random.Random(13)
+    edges = [(f"v{rnd.randrange(80)}", f"v{rnd.randrange(80)}") for _ in range(150)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = sorted(map(tuple, connected_components(df, mode="driver").collect()))
+    got = sorted(map(tuple, connected_components(df, mode="twophase").collect()))
+    assert got == want
 
 
 def test_components_reliable_checkpoint(spark, tmp_path):

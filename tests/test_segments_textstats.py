@@ -122,3 +122,36 @@ def test_winnow_fingerprint_robust_to_local_edit(spark):
     a, b = [set(r["fp"]) for r in df.select(w(F.col("text")).alias("fp")).collect()]
     overlap = len(a & b) / max(len(a | b), 1)
     assert overlap > 0.3  # local edit keeps most fingerprint windows
+
+
+def test_winnow_vectorized_matches_naive_golden(spark):
+    """The batch-vectorized winnow (unique-gram table + gather) must emit
+    bit-identical fingerprints to the naive per-gram-crc32 formulation."""
+    import zlib
+
+    import numpy as np
+
+    k, w = 8, 16
+
+    def naive(t):
+        if not t or len(t) < k:
+            return []
+        grams = [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
+        arr = np.array(grams, dtype=np.int64)
+        if len(arr) <= w:
+            return sorted({int(arr.min())})
+        view = np.lib.stride_tricks.sliding_window_view(arr, w)
+        return sorted({int(x) for x in view.min(axis=1)})
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "short",
+        "",
+        None,
+        "exactly8!",  # just above the k boundary
+        "unicode snowman ☃ and accents éàü repeated ☃☃ " * 3,
+        "a" * 100,  # degenerate: one unique gram
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["fp"] for r in df.coalesce(1).select(make_winnow_udf(k, w)(F.col("text")).alias("fp")).collect()]
+    assert got == [naive(t) for t in texts]

@@ -141,6 +141,59 @@ def test_stateful_dynamic_sessions_match_batch(spark, tmp_path):
     assert got == want_closed
 
 
+def test_streaming_update_mode_merges_in_watermark_disorder(spark, tmp_path):
+    """VERDICT r2 #9: an out-of-order event arriving in a LATER micro-batch
+    must MERGE into its open session, and the update surface must re-emit the
+    amended aggregate (append only shows a session once, at close). Also pins
+    WHY this runs on the stateful operator: Spark rejects update mode for
+    session_window aggregations outright."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from docprocai_service_spark.streaming.sessions import (
+        run_sessions_update_mode,
+        session_stats_stream,
+    )
+
+    in_dir, out_dir, ckpt = str(tmp_path / "uin"), str(tmp_path / "uout"), str(tmp_path / "uck")
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("append").parquet(in_dir)
+
+    # trigger 1: two close events -> one OPEN session, emitted as an update
+    write_batch([
+        (1, "2024-01-01 08:00:00", 1, "a", 1.0, None),
+        (2, "2024-01-01 08:20:00", 1, "a", 1.0, None),
+    ])
+    run_sessions_update_mode(spark, in_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir).filter("user_id = 1").collect()
+    assert len(first) == 1 and first[0]["n_events"] == 2  # open-session emit
+
+    # trigger 2: an OUT-OF-ORDER event inside the open session's span
+    # -> merged (count + unchanged start), amended row re-emitted
+    write_batch([(3, "2024-01-01 08:10:00", 1, "a", 1.0, None)])
+    run_sessions_update_mode(spark, in_dir, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).filter("user_id = 1").collect()
+    latest = max(rows, key=lambda r: r["epoch"])
+    assert latest["n_events"] == 3  # disorder merged, not dropped
+    assert latest["session_id"] == first[0]["session_id"]
+    assert latest["start_ts"] == first[0]["start_ts"]
+    # superseded intermediate rows remain visible with older epochs
+    assert any(r["n_events"] == 2 for r in rows)
+
+    # the platform limitation this surface exists for (documented behavior):
+    sw = session_stats_stream(spark, in_dir, gap="30 minutes")
+    with pytest.raises(AnalysisException, match="STREAMING_OUTPUT_MODE"):
+        (
+            sw.writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "nck"))
+            .trigger(availableNow=True).start().awaitTermination()
+        )
+
+
 def test_streaming_sessions_drop_late_past_watermark(spark, tmp_path):
     """VERDICT item 10: out-of-order events arriving AFTER the watermark has
     passed their session must be dropped, not corrupt closed sessions —

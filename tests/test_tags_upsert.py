@@ -82,9 +82,11 @@ def test_upsert_replaces_matching_keys(spark, tmp_path):
 
 
 def test_upsert_torn_swap_recovers(spark, tmp_path):
-    """Crash between the old-dir removal and the swap rename leaves the stage
-    ABSENT (torn write) — the next upsert must rebuild from the incoming
-    batch and clear the leaked .swap dir, never resurrect half-merged data."""
+    """Crash between the old-dir removal and the swap rename: the .swap dir
+    holds the COMPLETE merged output (it has _SUCCESS). The next upsert must
+    FINISH the interrupted swap — previously committed rows survive — and
+    then merge the new batch on top. (Round-2 behavior rebuilt from the
+    incoming batch alone, silently dropping committed rows; pinned fixed.)"""
     import os
     import shutil
 
@@ -101,9 +103,71 @@ def test_upsert_torn_swap_recovers(spark, tmp_path):
     v2 = spark.createDataFrame([("u2", 1, "b")], "url string, warc_ts int, payload string")
     store.upsert("seg", v2, keys=["url", "warc_ts"])
     got = {r["url"]: r["payload"] for r in store.read("seg").collect()}
-    assert got == {"u2": "b"}  # rebuilt from the retry batch only
+    assert got == {"u1": "a", "u2": "b"}  # committed u1 survived the crash
     assert store.is_done("seg")
-    assert not os.path.exists(stage_dir + ".swap")  # leaked swap cleared
+    assert not os.path.exists(stage_dir + ".swap")  # swap completed + cleared
+
+
+def test_upsert_manifest_crash_adopts_committed_write(spark, tmp_path):
+    """Crash AFTER the write job committed (_SUCCESS present) but BEFORE the
+    manifest commit: the next upsert adopts the committed data instead of
+    treating the stage as absent."""
+    import os
+
+    from docprocai_service_spark.sources.manifest import StageStore
+
+    store = StageStore(spark, str(tmp_path / "mf"))
+    v1 = spark.createDataFrame([("u1", 1, "a")], "url string, warc_ts int, payload string")
+    store.upsert("seg", v1, keys=["url", "warc_ts"])
+    os.remove(store._manifest_path("seg"))  # manifest commit "crashed"
+    assert not store.is_done("seg")
+    v2 = spark.createDataFrame([("u2", 1, "b")], "url string, warc_ts int, payload string")
+    store.upsert("seg", v2, keys=["url", "warc_ts"])
+    got = {r["url"]: r["payload"] for r in store.read("seg").collect()}
+    assert got == {"u1": "a", "u2": "b"}
+    assert store.manifest("seg")["rows"] == 2
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-scoped merge: files in buckets the batch does not touch must
+    not be rewritten (same inodes/mtimes), and the manifest count comes from
+    the write job (no rescan) yet stays exact across merges."""
+    import glob
+    import os
+
+    from docprocai_service_spark.sources.manifest import BUCKET_COL, StageStore
+
+    store = StageStore(spark, str(tmp_path / "bk"))
+    base = spark.createDataFrame(
+        [(f"u{i}", 1, f"p{i}") for i in range(200)], "url string, warc_ts int, payload string"
+    )
+    store.upsert("seg", base, keys=["url", "warc_ts"], n_buckets=16)
+    target = store.path("seg")
+
+    def snapshot():
+        """bucket dir -> frozenset of (file, mtime) — a bucket is 'rewritten'
+        iff its file set changes."""
+        out = {}
+        for d in glob.glob(os.path.join(target, f"{BUCKET_COL}=*")):
+            out[os.path.basename(d)] = frozenset(
+                (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+                for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return out
+
+    before = snapshot()
+    assert len(before) > 4  # really bucketed
+    # a 2-key batch touches at most 2 of 16 buckets
+    delta = spark.createDataFrame(
+        [("u0", 1, "NEW"), ("u999", 1, "fresh")], "url string, warc_ts int, payload string"
+    )
+    store.upsert("seg", delta, keys=["url", "warc_ts"])
+    after = snapshot()
+    untouched = [b for b in before if after.get(b) == before[b]]
+    assert len(untouched) >= len(before) - 2  # ≥14/16 buckets not rewritten
+    got = {r["url"]: r["payload"] for r in store.read("seg").collect()}
+    assert got["u0"] == "NEW" and got["u999"] == "fresh" and len(got) == 201
+    assert store.manifest("seg")["rows"] == 201  # metadata-only math, exact
 
 
 def test_dynamic_sessionize_rule(spark):
