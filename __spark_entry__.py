@@ -468,6 +468,31 @@ def ngram_jaccard_docs(spark, sf_dir):
     return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
+def near_dup_groups_docs(spark, sf_dir):
+    """Connected components over the verified near-dup graph: every document
+    gets a group_id = MIN(doc_id) of its transitive near-duplicate cluster
+    (singletons map to themselves) — the actual dedup deliverable (keep one
+    doc per group).
+
+    Oracle-checked (round 3): the edge set equals the exact SQL pair set
+    (see minhash_near_dup_docs), and DuckDB computes the same components via
+    a recursive-CTE transitive closure — the first END-TO-END oracle over the
+    components operator (previously pytest-only). At this scale auto mode
+    routes to the driver union-find; at web scale the same call routes to the
+    O(log n) large-star/small-star formulation (operators/canonicalize.py)."""
+    from docprocai_service_spark.operators.canonicalize import connected_components
+    from docprocai_service_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_near_dup_pairs(d, threshold=0.5, k=64, bands=32).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    comps = connected_components(
+        edges, vertices=d.select(F.col("doc_id").alias("id")), mode="auto"
+    )
+    return comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("group_id"))
+
+
 def winnow_fingerprint_docs(spark, sf_dir):
     """Winnowing document fingerprints (rolling k-gram hash windows — the
     MOSS scheme; rows-only, numpy sliding-window UDF)."""
@@ -594,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_docs": simhash_near_dup_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "near_dup_groups_docs": near_dup_groups_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "title_segments_docs": title_segments_docs,
         "kg_triples": kg_triples,
@@ -889,6 +915,28 @@ def oracle_sql() -> dict[str, str]:
         # equality holds on the test corpus and pins the verify UDF exactly.
         "minhash_near_dup_docs": _NGRAM_JACCARD_PAIRS_SQL,
         "ngram_jaccard_docs": _NGRAM_JACCARD_PAIRS_SQL,
+        # near_dup_groups_docs: connected components of that pair set via a
+        # recursive-CTE transitive closure — min reachable id per node,
+        # singletons map to themselves. First full SQL oracle over the
+        # components operator.
+        "near_dup_groups_docs": f"""
+            WITH RECURSIVE jac AS ({_NGRAM_JACCARD_PAIRS_SQL}),
+            sym AS (
+                SELECT id1 AS u, id2 AS v FROM jac
+                UNION
+                SELECT id2, id1 FROM jac
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            mins AS (SELECT u AS id, MIN(v) AS mv FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   CASE WHEN m.mv IS NULL OR d.doc_id < m.mv THEN d.doc_id
+                        ELSE m.mv END AS group_id
+            FROM documents d LEFT JOIN mins m ON m.id = d.doc_id
+        """,
         # simhash_near_dup_docs, ann_topk_embeddings,
         # kg_triples, kg_linked_mentions, kg_edges: non-SQL-expressible
         # (LSH banding / iterative components / pandas-UDF sketches) →

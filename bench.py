@@ -268,9 +268,32 @@ def skew_ablation() -> None:
 
     naive = timed(m.join(alias, "alias", "left"))
     salted = timed(salted_join(m, alias, key="alias", salt_on="mention_id", n_salts=16))
+
+    # Severe-skew case — the north star's "Wikipedia/Wikidata hub" regime:
+    # half of a large mention stream hits ONE alias. A naive shuffle join
+    # funnels that half into a single reducer task (one core does 50% of the
+    # work → wall ≈ 0.5 × total); salting spreads it across n_salts tasks.
+    # The corpus case above (Zipf s≈1.1) is mild on purpose: it shows salting
+    # is ~neutral when no reducer saturates — the tool pays off with hubs.
+    n_hub = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "4000000"))
+    hub = (
+        spark.range(n_hub)
+        .select(
+            F.col("id").alias("mention_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("acme corporation"))
+            .otherwise(F.concat(F.lit("alias"), (F.col("id") % 397).cast("string")))
+            .alias("alias"),
+        )
+    )
+    hub_naive = timed(hub.join(alias, "alias", "left"))
+    hub_salted = timed(salted_join(hub, alias, key="alias", salt_on="mention_id", n_salts=16))
     spark.stop()
-    print(json.dumps({"n_mentions": None, "naive_shuffle_join_s": naive,
-                      "salted_join_s": salted, "speedup": round(naive / salted, 2)}))
+    print(json.dumps({
+        "corpus_zipf": {"naive_s": naive, "salted_s": salted,
+                        "speedup": round(naive / salted, 2)},
+        "hub_50pct": {"rows": n_hub, "naive_s": hub_naive, "salted_s": hub_salted,
+                      "speedup": round(hub_naive / hub_salted, 2)},
+    }))
 
 
 def scaling() -> None:
@@ -450,11 +473,28 @@ def scaling_cluster() -> None:
     # (executor_count, cores_per_executor, worker_mem_mb) levels. Executor
     # shape fixed per pair: 2-core/3g and 4-core/6g executors — the same
     # cores:heap ratio a real cluster uses. Pairs = 1→4 and 2→8 executors.
-    shapes = {
-        (2, 3072): [1, 4],          # 2→8 total cores
-        (4, 6144): [1, 2, 4, 8],    # 4→16 and 8→32 total cores
-    }
-    levels = [(n, c, m) for (c, m), ns in shapes.items() for n in ns]
+    # SPARK_GRAFT_CLUSTER_PAIRS narrows the run (e.g. "1x4:4x4" measures just
+    # the 4→16-core pair with more rounds in the same wall-clock — co-tenant
+    # bursts on this box swing loadavg 0→27 on a minutes timescale, so fewer
+    # levels × more interleaved rounds gives each level a fairer shot at a
+    # quiet sample).
+    pair_env = os.environ.get("SPARK_GRAFT_CLUSTER_PAIRS")
+    if pair_env:
+        mem = {2: 3072, 4: 6144}
+        pair_list = []
+        for p in pair_env.split(","):
+            if ":" not in p or "x" not in p:
+                sys.exit(f"SPARK_GRAFT_CLUSTER_PAIRS: expected 'NxC:NxC[,...]' "
+                         f"(e.g. '1x4:4x4'), got {p!r}")
+            lo, hi = p.split(":")
+            ln, lc_ = (int(x) for x in lo.split("x"))
+            hn, hc = (int(x) for x in hi.split("x"))
+            pair_list.append(((ln, lc_, mem[lc_]), (hn, hc, mem[hc])))
+        levels = sorted({lvl for pr in pair_list for lvl in pr})
+    else:
+        pair_list = [((1, 2, 3072), (4, 2, 3072)), ((1, 4, 6144), (4, 4, 6144)),
+                     ((2, 4, 6144), (8, 4, 6144))]
+        levels = sorted({lvl for pr in pair_list for lvl in pr})
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 
     def run_at(n_exec: int, cores: int, mem_mb: int) -> dict:
@@ -487,8 +527,6 @@ def scaling_cluster() -> None:
         with mp.Pool(n) as p:
             return sum(p.map(_stream_2s, range(n)))
 
-    pair_list = [((1, 2, 3072), (4, 2, 3072)), ((1, 4, 6144), (4, 4, 6144)),
-                 ((2, 4, 6144), (8, 4, 6144))]
     mem_ceilings = {}
     for lo, hi in pair_list:
         mem_ceilings[(lo, hi)] = round(
@@ -527,7 +565,9 @@ def scaling_cluster() -> None:
                           "eff": round(eff, 3), "mem_ceiling": mceil,
                           "rate_n": rn["triples_per_sec"], "rate_4n": r4n["triples_per_sec"]})
     lines.append("\nefficiency = rate(4N execs) / (4 × rate(N execs)); target ≥ 0.8.\n")
-    _patch_baseline_md("multi-jvm", "\n".join(lines))
+    # a narrowed SPARK_GRAFT_CLUSTER_PAIRS run patches its own section so the
+    # full-protocol table is preserved alongside the focused re-measurement
+    _patch_baseline_md("multi-jvm-focused" if pair_env else "multi-jvm", "\n".join(lines))
     print(json.dumps(out_pairs))
 
 

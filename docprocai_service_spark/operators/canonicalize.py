@@ -342,8 +342,19 @@ def _components_two_phase(
 
 
 def _components_driver(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
-    """Exact union-find on collected edges; identical output contract."""
+    """Exact union-find on collected edges; identical output contract.
+
+    The output id/comp columns keep the INPUT id type (string, long, …) —
+    the distributed and twophase routes preserve it structurally, so the
+    driver route must too or the result dtype would depend on which route
+    `mode='auto'` picked."""
+    from pyspark.sql import types as T
+
     spark = edges.sparkSession
+    id_type = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
     pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
     parent: dict[str, str] = {}
 
@@ -366,9 +377,7 @@ def _components_driver(edges: DataFrame, vertices: DataFrame | None) -> DataFram
     if vertices is not None:
         ids |= {r[0] for r in vertices.select("id").collect()}
     rows = [(x, find(x)) for x in sorted(ids)]
-    if not rows:
-        return spark.createDataFrame([], "id string, comp string")
-    return spark.createDataFrame(rows, "id string, comp string")
+    return spark.createDataFrame(rows, out_schema)
 
 
 def _canonicalize_driver(

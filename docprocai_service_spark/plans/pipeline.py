@@ -142,6 +142,11 @@ def run_pipeline(
     # (its _SUCCESS+manifest from the previous run would otherwise look done).
     _STAGE_ORDER = ["extracted", "triples", "mentions", "linked", "canon_map", "edges", "entities"]
 
+    # Entity-keyed outputs are partitioned by their bucket column (see
+    # operators/materialize.py): co-locates each entity's edges for
+    # neighborhood reads and lets downstream merges prune partitions.
+    _PARTITION_BY = {"edges": ["bucket"], "entities": ["bucket"]}
+
     def run_stage(name: str, make, key_cols: list[str], rows_in: int = -1) -> DataFrame:
         t0 = time.time()
         if store is not None:
@@ -152,7 +157,7 @@ def run_pipeline(
                 for downstream in _STAGE_ORDER[_STAGE_ORDER.index(name) + 1:]:
                     if store.is_done(downstream):
                         store.invalidate(downstream)
-                df = store.write(name, make())
+                df = store.write(name, make(), partition_by=_PARTITION_BY.get(name))
         else:
             # No store: cache ONLY the multi-consumer stages (triples feeds
             # mentions + edge resolution; canon_map feeds resolution +

@@ -94,6 +94,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 256, not the 4096 default: the primary input is ~5KB binary html
+        # rows, so a 4096-row scan batch materializes ~20MB OnHeapColumnVector
+        # byte arrays — HUMONGOUS allocations for G1's 4-8MB regions (6-12g
+        # heaps), repeatedly grown via reserveInternal copy. Measured on the
+        # KG corpus: 65-90k triples/s at 4096 vs 324k at 256 under 4×4-core
+        # executor JVMs (thread dumps pinned executors inside
+        # OnHeapColumnVector.appendBytes); local[16] also improves (402k).
+        # 256 rows × 5KB ≈ 1.3MB batches stay region-friendly.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         # Spark 4's ICU case mappings trigger CollationAwareUTF8String.<clinit>
         # on the first lower()/upper() inside a codegen'd stage — observed
         # 25-45s with all executor threads serialized on the class-init lock.
@@ -105,6 +114,19 @@ def get_spark(
         # cap; claim all of it for the executor heap. 4-8g per 2-4 cores is
         # the same shape a real cluster uses (see the 12g driver note above).
         builder = builder.config("spark.executor.memory", f"{lc.group(3)}m")
+        # Every executor JVM on this ONE box otherwise sizes its GC / JIT /
+        # netty thread pools to the MACHINE's core count (32) — n executors
+        # × ~32 GC threads thrash a taskset-pinned core slice and scaling
+        # INVERTS (measured: 4×4-core executors at 78k triples/s vs 145k for
+        # 1). A real cluster executor owns its host slice, which is exactly
+        # what ActiveProcessorCount declares. Locality wait is likewise a
+        # rack-topology knob: on loopback a "remote" block fetch costs
+        # microseconds, while waiting the default 3s per non-local task wave
+        # serializes small stages onto whichever executor holds cached blocks.
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={lc.group(2)}",
+        ).config("spark.locality.wait", "0")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

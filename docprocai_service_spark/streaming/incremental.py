@@ -62,6 +62,13 @@ def incremental_ingest(
     n_new = todo.count()
     if n_new == 0:
         return {"new_pages": 0}
+    if alias_dict is not None and store.is_done("edges") and not store.is_done("edges_pages"):
+        # Store built by a batch run_pipeline: its edges cover exactly the
+        # pages in the committed triples stage (the pipeline invalidates
+        # downstream on any upstream recompute). Bootstrap the merge ledger
+        # from them BEFORE appending this batch's triples — otherwise
+        # merge_edge_deltas would re-add every existing page's weights.
+        store.write("edges_pages", store.read("triples").select(*KEYS).distinct())
     # Lazy persists (NOT eager localCheckpoint): no barrier job, blocks can
     # re-derive from lineage on executor loss, and the first consuming action
     # fills the cache for the later ones.

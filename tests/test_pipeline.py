@@ -207,3 +207,23 @@ def test_streaming_ingest_available_now(spark, spark_corpus, tmp_path):
     pages.limit(80).write.mode("append").parquet(in_dir)
     streaming_ingest(spark, in_dir, store, str(tmp_path / "ckpt"))
     assert store.read("extracted").select("url", "warc_ts").distinct().count() == 80
+
+
+def test_incremental_onto_batch_store_bootstraps_ledger(spark, spark_corpus, tmp_path):
+    """Incremental ingest onto a store built by a BATCH run must not re-merge
+    the batch pages' edge weights (the ledger bootstraps from the committed
+    triples stage before the first micro-batch appends)."""
+    from docprocai_service_spark.operators.extract import extract_stage
+    from docprocai_service_spark.operators.triples import triples_stage
+
+    pages, alias = spark_corpus
+    d = str(tmp_path / "handoff")
+    b1 = pages.limit(200).localCheckpoint()
+    run_pipeline(spark, b1, alias, out_dir=d)  # batch run writes edges, no ledger
+    store = StageStore(spark, d)
+    b2 = pages.join(b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    incremental_ingest(spark, b2, store, alias_dict=alias)
+    full = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    assert _edges_key(store.read("edges")) == _edges_key(full.edges)
+    full.triples.unpersist()
+    full.canon_map.unpersist()
