@@ -357,7 +357,16 @@ def scaling() -> None:
     # one pair's window and 316k in another's — the interleaved protocol
     # makes that impossible by construction).
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
-    pair_list = ((2, 8), (4, 16), (8, 32))
+    # SPARK_GRAFT_SCALING_PAIRS="2:8" narrows to specific core pairs (same
+    # rationale as the cluster mode's knob: fewer levels × more rounds on a
+    # bursty shared box); results go to their own sentinel section.
+    pairs_env = os.environ.get("SPARK_GRAFT_SCALING_PAIRS")
+    if pairs_env:
+        pair_list = tuple(
+            tuple(int(x) for x in p.split(":")) for p in pairs_env.split(",")
+        )
+    else:
+        pair_list = ((2, 8), (4, 16), (8, 32))
     levels = sorted({n for p in pair_list for n in p})
 
     def _agg_stream(n: int) -> float:
@@ -417,7 +426,7 @@ def scaling() -> None:
             f"| **{eff:.3f}** | {ceil:.3f} | {mceil:.3f} | {eff / mceil:.3f} |"
         )
     lines.append("\nefficiency = rate(4N) / (4 × rate(N)); target ≥ 0.8 per BASELINE.json.\n")
-    _patch_baseline_md("shared-jvm", "\n".join(lines))
+    _patch_baseline_md("shared-jvm-focused" if pairs_env else "shared-jvm", "\n".join(lines))
     print(json.dumps([{ "n": n, "n4": n4, "eff": round(eff, 3), "ceiling": ceilings[(n, n4)],
                         "mem_ceiling": mem_ceilings[(n, n4)],
                         "rate_n": rn["triples_per_sec"], "rate_4n": r4n["triples_per_sec"]}
