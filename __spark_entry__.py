@@ -523,7 +523,9 @@ def ivf_topk_embeddings(spark, sf_dir):
 
 def title_segments_docs(spark, sf_dir):
     """Batch titling with token-budget packing + rewind (§2.5 LLM-batching
-    shape, deterministic stub titler; rows-only — per-group stateful loop)."""
+    shape, deterministic stub titler). Oracle-checked: the packing cursor is
+    order-defined per group, expressed in DuckDB as a recursive CTE over the
+    group's token prefix sums (see oracle_sql)."""
     from docprocai_service_spark.operators.titling import title_segments
 
     d = _t(spark, sf_dir, "documents").select(
@@ -936,6 +938,68 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m.mv IS NULL OR d.doc_id < m.mv THEN d.doc_id
                         ELSE m.mv END AS group_id
             FROM documents d LEFT JOIN mins m ON m.id = d.doc_id
+        """,
+        # The titling operator's packing/rewind cursor is deterministic and
+        # order-defined per group, so it IS SQL-expressible as a recursive
+        # CTE (same technique as the near_dup_groups transitive closure):
+        # the recursion carries (start_rn, batch_no, tokens-consumed-before-
+        # start); each step finds the budget-limited batch end j via the
+        # group's token-prefix-sums, then advances by min(3, j-s+1) — the
+        # stub titler's max_answers=3 rewind. Title = first 4 words, each
+        # capitalize()d (upper first char + lower rest).
+        "title_segments_docs": """
+            WITH RECURSIVE
+            rows_t AS (
+              SELECT source AS grp, CAST(doc_id AS BIGINT) AS position,
+                     coalesce(text, '') AS text,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            cost_t AS (
+              SELECT *, array_length(regexp_split_to_array(trim(text), '\\s+')) AS cost
+              FROM rows_t
+            ),
+            cum AS (
+              SELECT *, sum(cost) OVER (PARTITION BY grp ORDER BY rn) AS cumc,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM cost_t
+            ),
+            batches AS (
+              SELECT grp, 1 AS s, 0 AS b, CAST(0 AS HUGEINT) AS base, n
+              FROM cum WHERE rn = 1
+              UNION ALL
+              SELECT x.grp,
+                     x.s + least(3, x.j - x.s + 1) AS s,
+                     x.b + 1 AS b,
+                     (SELECT cumc FROM cum c WHERE c.grp = x.grp
+                       AND c.rn = x.s + least(3, x.j - x.s + 1) - 1) AS base,
+                     x.n
+              FROM (
+                SELECT bt.grp, bt.s, bt.b, bt.n, bt.base,
+                       (SELECT max(c.rn) FROM cum c
+                         WHERE c.grp = bt.grp AND c.rn >= bt.s
+                           AND (c.rn = bt.s OR c.cumc <= 256 + bt.base)) AS j
+                FROM batches bt
+              ) x
+              WHERE x.s + least(3, x.j - x.s + 1) <= x.n
+            ),
+            assign AS (
+              SELECT bt.grp, bt.s, bt.b,
+                     (SELECT max(c.rn) FROM cum c
+                       WHERE c.grp = bt.grp AND c.rn >= bt.s
+                         AND (c.rn = bt.s OR c.cumc <= 256 + bt.base)) AS j
+              FROM batches bt
+            )
+            SELECT r.grp AS "group", r.position,
+                   CASE WHEN trim(r.text) = '' THEN '(untitled)'
+                        ELSE array_to_string(
+                          list_transform(regexp_split_to_array(trim(r.text), '\\s+')[1:4],
+                                         w -> upper(w[1]) || lower(w[2:])), ' ')
+                   END AS title,
+                   CAST(a.b AS INT) AS batch_no
+            FROM cum r
+            JOIN assign a
+              ON a.grp = r.grp AND r.rn >= a.s AND r.rn < a.s + least(3, a.j - a.s + 1)
         """,
         # simhash_near_dup_docs, ann_topk_embeddings,
         # kg_triples, kg_linked_mentions, kg_edges: non-SQL-expressible

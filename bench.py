@@ -100,69 +100,80 @@ def run_kg(spark, n_pages: int, corpus_dir: str | None = None) -> dict:
 
     from docprocai_service_spark.corpus import alias_dict_pdf, distributed_pages
     from docprocai_service_spark.plans.pipeline import run_pipeline
+    from docprocai_service_spark.session import fat_binary_scan
     from docprocai_service_spark import schemas
 
     corpus_dir = corpus_dir or os.path.join(tempfile.gettempdir(), f"bench_corpus_{n_pages}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         distributed_pages(spark, n_pages).write.mode("overwrite").parquet(corpus_dir)
     alias = spark.createDataFrame(alias_dict_pdf(400), schema=schemas.ALIAS_DICT).localCheckpoint()
-    pages = spark.read.parquet(corpus_dir)
-
-    # warm-up: full DAG at 1/50 scale (codegen + Arrow + broadcast machinery)
-    warm = run_pipeline(spark, pages.limit(max(200, n_pages // 50)), alias,
-                        out_dir=None, collect_lineage=False)
-    warm.edges.count()
-    warm.linked.count()
-    warm.triples.unpersist()
-    warm.canon_map.unpersist()
 
     best = None
-    # 3 reps, best-of: identical back-to-back runs on this shared host vary
-    # up to 2× with co-tenant bursts; the min is the honest quiet number.
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
-        t0 = time.time()
-        r = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
-        n_edges = r.edges.count()  # fills the triples cache, forces extract→triples→canon→edges
-        r.linked.count()  # linked-mentions output reuses the cached triples
-        n_triples = r.n_triples()  # observe() accumulator — zero extra jobs
-        wall = time.time() - t0
-        r.triples.unpersist()
-        r.canon_map.unpersist()
-        if best is None or wall < best["kg_wall_s"]:
-            best = {
-                "n_pages": n_pages,
-                "n_triples": n_triples,
-                "n_edges": n_edges,
-                "kg_wall_s": round(wall, 3),
-                "triples_per_sec": round(n_triples / wall, 1),
-                "pages_per_sec": round(n_pages / wall, 1),
-            }
+    # fat_binary_scan: 256-row parquet batches for the ~5KB html scan ONLY —
+    # the relational queries in this same process keep the 4096 default
+    # (scoping measured +15-30% on narrow scans when 256 was global).
+    with fat_binary_scan(spark):
+        pages = spark.read.parquet(corpus_dir)
+
+        # warm-up: full DAG at 1/50 scale (codegen + Arrow + broadcast machinery)
+        warm = run_pipeline(spark, pages.limit(max(200, n_pages // 50)), alias,
+                            out_dir=None, collect_lineage=False)
+        warm.edges.count()
+        warm.linked.count()
+        warm.triples.unpersist()
+        warm.canon_map.unpersist()
+
+        # 3 reps, best-of: identical back-to-back runs on this shared host vary
+        # up to 2× with co-tenant bursts; the min is the honest quiet number.
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
+            t0 = time.time()
+            r = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+            n_edges = r.edges.count()  # fills the triples cache, forces extract→triples→canon→edges
+            r.linked.count()  # linked-mentions output reuses the cached triples
+            n_triples = r.n_triples()  # observe() accumulator — zero extra jobs
+            wall = time.time() - t0
+            r.triples.unpersist()
+            r.canon_map.unpersist()
+            if best is None or wall < best["kg_wall_s"]:
+                best = {
+                    "n_pages": n_pages,
+                    "n_triples": n_triples,
+                    "n_edges": n_edges,
+                    "kg_wall_s": round(wall, 3),
+                    "triples_per_sec": round(n_triples / wall, 1),
+                    "pages_per_sec": round(n_pages / wall, 1),
+                }
     return best
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Best of 2 runs per query — steady-state like the KG measurement (the
     first run pays one-time Python-worker spin-up and codegen compilation,
-    which a resident engine amortizes across every query after the first)."""
+    which a resident engine amortizes across every query after the first).
+
+    Also samples /proc/loadavg per query (VERDICT r3: without it a noisy
+    snapshot can't prove its own validity — the r03 numbers looked like a
+    2-4× regression that was mostly co-tenant load)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    out = {}
+    out, loads = {}, {}
     for name in HEADLINE:
+        loads[name] = float(open("/proc/loadavg").read().split()[0])
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-    return out
+    return out, loads
 
 
 def main() -> None:
     sf = _sf_of(SF_DIR)
     spark = make_spark(CPUS)
     warmup(spark)
-    queries = run_queries(spark, SF_DIR)
+    queries, query_loadavg = run_queries(spark, SF_DIR)
     # Executor sizing for the KG job: its hot stage pairs every task thread
     # with a Python worker PROCESS (fused Arrow parse), so local[N] with
     # N = all cores runs 2N busy threads — measured 278k triples/s at
@@ -176,8 +187,10 @@ def main() -> None:
         spark.stop()
         spark = make_spark(kg_cpus)
         warmup(spark)
+    kg_load = float(open("/proc/loadavg").read().split()[0])
     kg = run_kg(spark, _bench_pages(sf))
     kg["kg_task_slots"] = kg_cpus
+    kg["loadavg_at_start"] = kg_load
     spark.stop()
     print(
         json.dumps(
@@ -186,6 +199,7 @@ def main() -> None:
                 "value": kg["triples_per_sec"],
                 "unit": "sec",
                 "queries": queries,
+                "query_loadavg": query_loadavg,
                 "sf": sf,
                 "cpus": CPUS,
                 "kg": kg,
@@ -202,6 +216,23 @@ def kg_only() -> None:
     kg = run_kg(spark, _bench_pages(sf))
     spark.stop()
     print(json.dumps({"cpus": CPUS, **kg}))
+
+
+def _wait_quiet() -> float:
+    """Block until the 1-min loadavg drops below $SPARK_GRAFT_QUIET_LOAD
+    (default 2.5, VERDICT r3 protocol; 0 disables), up to
+    $SPARK_GRAFT_QUIET_WAIT_S (default 900s) — then return the loadavg that
+    the measurement actually starts at. Co-tenant bursts on this box swing
+    loadavg 0→27 on a minutes timescale; a level measured inside a burst
+    understates the engine and poisons the N→4N ratio, so gating each level
+    is cheaper than averaging the noise away with more rounds."""
+    thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5"))
+    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "900"))
+    while True:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if thresh <= 0 or load < thresh or time.time() > deadline:
+            return load
+        time.sleep(15)
 
 
 def _burn_2s(_):
@@ -321,7 +352,7 @@ def scaling() -> None:
         spark.stop()
 
     def run_at(cpus: int) -> dict:
-        load = open("/proc/loadavg").read().split()[0]
+        load = f"{_wait_quiet():.2f}"
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_SF_DIR": SF_DIR,
                "SPARK_GRAFT_BENCH_REPS": "1",
                "SPARK_GRAFT_BENCH_PAGES": str(scaling_pages)}
@@ -508,7 +539,7 @@ def scaling_cluster() -> None:
 
     def run_at(n_exec: int, cores: int, mem_mb: int) -> dict:
         total = n_exec * cores
-        load = open("/proc/loadavg").read().split()[0]
+        load = f"{_wait_quiet():.2f}"
         env = {**os.environ,
                "SPARK_GRAFT_MASTER": f"local-cluster[{n_exec},{cores},{mem_mb}]",
                "SPARK_GRAFT_CPUS": str(total), "SPARK_GRAFT_SF_DIR": SF_DIR,

@@ -150,6 +150,7 @@ def connected_components(
     driver_threshold: int = 200_000,
     reliable_checkpoint: bool = False,
     on_unconverged: str = "raise",
+    force_driver: bool = False,
 ) -> DataFrame:
     """Undirected connected components → (id, comp) with comp = MIN(id) in component.
 
@@ -180,6 +181,22 @@ def connected_components(
     (min-label) remains available and is exercised directly by tests.
     """
     if mode == "driver":
+        # Explicit driver mode used to collect() unboundedly on trust; the
+        # same bounded probes 'auto' uses now guard it — a web-scale edge set
+        # reaching this path by accident fails loudly instead of OOMing the
+        # driver. force_driver=True is the documented opt-out.
+        if not force_driver:
+            too_big = edges.limit(driver_threshold + 1).count() > driver_threshold or (
+                vertices is not None
+                and vertices.limit(driver_threshold + 1).count() > driver_threshold
+            )
+            if too_big:
+                raise ValueError(
+                    f"mode='driver' on > driver_threshold={driver_threshold} "
+                    "edges/vertices would collect() unboundedly on the driver; "
+                    "use mode='auto'/'twophase', raise driver_threshold, or "
+                    "pass force_driver=True if the collect is intended."
+                )
         return _components_driver(edges, vertices)
     if mode == "auto":
         n_edges = edges.limit(driver_threshold + 1).count()
@@ -275,6 +292,17 @@ def _components_two_phase(
         .distinct()
     )
     pairs = _truncate_lineage(pairs, reliable_checkpoint)
+    # Capture the FULL vertex set once, from the input plan, while upstream
+    # caches (e.g. similarity_edges' signature persist) are still alive — the
+    # isolated-vertex fill after the loop must not replay the raw `edges`
+    # lineage (self-loop-only ids are absent from `pairs`, so pairs alone
+    # can't provide them; ADVICE r3 #4).
+    all_ids = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    )
+    if vertices is not None:
+        all_ids = all_ids.union(vertices.select("id"))
+    all_ids = _truncate_lineage(all_ids.distinct(), reliable_checkpoint)
     converged = False
     for _ in range(max_iter):
         # ---- large-star: center every node; attach larger neighbors to min
@@ -328,14 +356,8 @@ def _components_two_phase(
     members = pairs.select(F.col("v").alias("id"), F.col("u").alias("comp"))
     roots = pairs.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = members.unionByName(roots).distinct()
-    all_ids = edges.select(F.col("src").alias("id")).union(
-        edges.select(F.col("dst").alias("id"))
-    )
-    if vertices is not None:
-        all_ids = all_ids.union(vertices.select("id"))
     isolated = (
-        all_ids.distinct()
-        .join(labels.select("id"), "id", "left_anti")
+        all_ids.join(labels.select("id"), "id", "left_anti")
         .withColumn("comp", F.col("id"))
     )
     return labels.unionByName(isolated)

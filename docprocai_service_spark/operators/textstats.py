@@ -95,46 +95,109 @@ def make_winnow_udf(k: int = 8, w: int = 16):
     rolling-hash document sketch robust to local edits. Arrow-batched.
 
     Vectorized with the same flat-batch scheme as make_minhash_udf
-    (functions/hashing.py:88): k-grams are deduped into ONE batch-level
-    unique table, crc32+encode run once per DISTINCT gram (8-char grams
-    repeat heavily across a web batch), rows gather their hash streams from
-    the shared table, and the windowed min is a per-row
-    sliding_window_view().min() — C loops throughout. Output is
-    bit-identical to the naive per-gram-crc32 formulation (golden-tested)."""
+    (functions/hashing.py:88), now with NO per-character Python loop: each
+    text is decoded once to a uint32 codepoint array (utf-32-le byte view),
+    all rows' k-gram windows come from ONE batch-level sliding_window_view,
+    the windows are deduped via a void-dtype np.unique(return_inverse=True)
+    (C-speed structural compare, no gram strings materialized per position),
+    and crc32+utf-8-encode run once per DISTINCT gram (8-char grams repeat
+    heavily across a web batch). The windowed min is a per-row
+    sliding_window_view().min(). Output is bit-identical to the naive
+    per-gram-crc32 formulation (golden-tested)."""
+
+    _SEP = np.array([0xFFFFFFFF], dtype=np.uint32)  # not a valid codepoint
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow_udf(texts: pd.Series) -> pd.Series:
-        uniq: dict[str, int] = {}
-        row_idx: list[np.ndarray] = []
+        sw = np.lib.stride_tricks.sliding_window_view
+        # 1) one codepoint array for the WHOLE batch (utf-32-le byte view is
+        # an exact per-char codepoint dump), rows separated by a sentinel
+        # that cannot occur in text; windows that cross a separator are
+        # masked out by position below.
+        cps: list[np.ndarray] = []
+        counts: list[int] = []  # windows per row (0 for short/empty texts)
+        cp_max = 0
         for t in texts:
             if not t or len(t) < k:
-                row_idx.append(np.empty(0, dtype=np.int64))
+                counts.append(0)
                 continue
-            idx = np.empty(len(t) - k + 1, dtype=np.int64)
-            for i in range(len(t) - k + 1):
-                g = t[i : i + k]
-                j = uniq.get(g)
-                if j is None:
-                    j = len(uniq)
-                    uniq[g] = j
-                idx[i] = j
-            row_idx.append(idx)
-        if uniq:
-            base = np.fromiter(
-                (zlib.crc32(g.encode("utf-8")) for g in uniq), dtype=np.int64, count=len(uniq)
-            )
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            cps.append(cp)
+            counts.append(len(cp) - k + 1)
+            cp_max = max(cp_max, int(cp.max()))
+        if cps:
+            parts: list[np.ndarray] = []
+            for c in cps:
+                parts.append(c)
+                parts.append(_SEP)
+            concat = np.concatenate(parts[:-1])
+            m = len(concat) - k + 1
+            valid = np.ones(m, dtype=bool)
+            off = 0
+            for c in cps[:-1]:
+                s = off + len(c)  # separator index
+                valid[max(s - k + 1, 0) : min(s + 1, m)] = False
+                off = s + 1
+            if k <= 8 and cp_max < 256:
+                # 2a) latin fast path: k codepoints ≤ 8 bytes → every window
+                # IS one uint64 key (a contiguous byte-view copy, no per-
+                # position Python). Dedup via pandas' hash-based factorize
+                # (O(n), beats sort-based np.unique when distinct ≪ n).
+                b = concat.astype(np.uint8)
+                wins = np.ascontiguousarray(sw(b, 8)) if k == 8 else np.ascontiguousarray(
+                    np.pad(sw(b, k), ((0, 0), (0, 8 - k)))
+                )
+                key = wins.view(np.uint64).ravel()[:m]
+                codes, uniq_keys = pd.factorize(key[valid])
+                ub = np.asarray(uniq_keys, dtype=np.uint64).view(np.uint8).reshape(-1, 8)[:, :k]
+                # 3a) crc32 once per DISTINCT gram; chars <256 → latin-1
+                # round-trip reproduces the naive t[i:i+k].encode("utf-8")
+                base = np.fromiter(
+                    (
+                        zlib.crc32(r.tobytes().decode("latin-1").encode("utf-8"))
+                        for r in np.ascontiguousarray(ub)
+                    ),
+                    dtype=np.int64,
+                    count=len(ub),
+                )
+                valid_hashes = base[codes]
+            else:
+                # 2b) full-unicode path: lexsort the k-codepoint windows
+                # (column-wise radix passes — void-dtype unique is ~20×
+                # slower) and dedup by adjacent-row comparison.
+                allw = np.ascontiguousarray(sw(concat, k)[valid])
+                order = np.lexsort(allw.T[::-1])
+                srt = allw[order]
+                neq = np.any(srt[1:] != srt[:-1], axis=1)
+                inverse = np.empty(len(allw), dtype=np.int64)
+                inverse[order] = np.concatenate(([0], np.cumsum(neq)))
+                uniq_cp = np.ascontiguousarray(
+                    srt[np.concatenate(([0], np.nonzero(neq)[0] + 1))]
+                )
+                base = np.fromiter(
+                    (
+                        zlib.crc32(r.tobytes().decode("utf-32-le").encode("utf-8"))
+                        for r in uniq_cp
+                    ),
+                    dtype=np.int64,
+                    count=len(uniq_cp),
+                )
+                valid_hashes = base[inverse]
         else:
-            base = np.empty(0, dtype=np.int64)
+            valid_hashes = np.empty(0, dtype=np.int64)
+        # 4) per-row windowed min over the shared hash stream
         out = []
-        for idx in row_idx:
-            if idx.size == 0:
+        pos = 0
+        for n in counts:
+            if n == 0:
                 out.append([])
                 continue
-            arr = base[idx]
+            arr = valid_hashes[pos : pos + n]
+            pos += n
             if arr.size <= w:
                 out.append([int(arr.min())])
                 continue
-            view = np.lib.stride_tricks.sliding_window_view(arr, w)
+            view = sw(arr, w)
             out.append(np.unique(view.min(axis=1)).tolist())
         return pd.Series(out)
 

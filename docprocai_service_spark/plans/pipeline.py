@@ -30,7 +30,7 @@ from ..operators.extract import extract_stage
 from ..operators.linking import link_mentions
 from ..operators.materialize import edges_table, entities_table, resolve_entities
 from ..operators.triples import fused_triples_stage, mentions_stage, triples_stage
-from ..sources.manifest import StageStore
+from ..sources.manifest import StageStore, content_fingerprint
 
 
 def lineage_rows(df: DataFrame, stage: str, key_cols: list[str], rows_in: int, wall_ms: int) -> DataFrame:
@@ -157,7 +157,16 @@ def run_pipeline(
                 for downstream in _STAGE_ORDER[_STAGE_ORDER.index(name) + 1:]:
                     if store.is_done(downstream):
                         store.invalidate(downstream)
-                df = store.write(name, make(), partition_by=_PARTITION_BY.get(name))
+                # stamp canon_map with the alias-dict fingerprint it derives
+                # from, so incremental ingest can auto-detect dictionary
+                # changes (streaming/incremental.py) — one tiny agg job on a
+                # dimension-sized table, store mode only
+                meta = (
+                    {"alias_fp": content_fingerprint(alias_dict, ["alias", "entity_id", "prior"])[1]}
+                    if name == "canon_map"
+                    else None
+                )
+                df = store.write(name, make(), partition_by=_PARTITION_BY.get(name), meta=meta)
         else:
             # No store: cache ONLY the multi-consumer stages (triples feeds
             # mentions + edge resolution; canon_map feeds resolution +

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,42 @@ def _package_zip() -> str:
                         )
                         z.write(full, rel)
     return out
+
+
+FAT_SCAN_BATCH = 256
+
+
+@contextmanager
+def fat_binary_scan(spark: SparkSession, batch_rows: int = FAT_SCAN_BATCH):
+    """Scope `spark.sql.parquet.columnarReaderBatchSize` to a fat-binary-scan
+    workload (web-page tables with ~5KB `html:binary` rows).
+
+    At the 4096-row default such a scan materializes ~20MB on-heap column
+    vectors per batch — HUMONGOUS allocations for G1's 4-8MB regions on
+    6-12g executor heaps, measured as a 15× scan-CPU inflation (65-90k
+    triples/s vs 324k at 256 under 4×4-core executor JVMs; thread dumps
+    pinned in OnHeapColumnVector.appendBytes). 256 rows × 5KB ≈ 1.3MB
+    batches stay region-friendly.
+
+    This is a runtime SQL conf consumed when the scan's physical plan is
+    built, so the context must wrap the ACTIONS that execute the page scan,
+    not just the `spark.read` call. It restores the previous value on exit
+    so narrow-table queries in the same session keep the cheap 4096 default
+    (a global 256 cost them a measured 15-30%).
+    """
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(batch_rows))
+    try:
+        yield spark
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def get_spark(
@@ -94,15 +131,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # 256, not the 4096 default: the primary input is ~5KB binary html
-        # rows, so a 4096-row scan batch materializes ~20MB OnHeapColumnVector
-        # byte arrays — HUMONGOUS allocations for G1's 4-8MB regions (6-12g
-        # heaps), repeatedly grown via reserveInternal copy. Measured on the
-        # KG corpus: 65-90k triples/s at 4096 vs 324k at 256 under 4×4-core
-        # executor JVMs (thread dumps pinned executors inside
-        # OnHeapColumnVector.appendBytes); local[16] also improves (402k).
-        # 256 rows × 5KB ≈ 1.3MB batches stay region-friendly.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # Parquet scan batch stays at the 4096 default HERE: a global 256
+        # taxes every narrow-table scan ~15-30% (16× more per-batch overhead
+        # for rows of a few dozen bytes — measured q1 1.04s@256 vs 0.89s@4096
+        # at 16 cores). The 256 batch is the right size ONLY for fat binary
+        # columns (~5KB html rows), where 4096-row batches are ~20MB
+        # OnHeapColumnVector arrays — G1-humongous for 4-8MB regions, 15×
+        # scan-CPU inflation under small-heap executors. That case is scoped
+        # per-workload via fat_binary_scan() below (the conf is execution-
+        # time, and parquet exposes no per-read option for it — verified
+        # against ParquetFileFormat, which reads only the SQLConf).
         # Spark 4's ICU case mappings trigger CollationAwareUTF8String.<clinit>
         # on the first lower()/upper() inside a codegen'd stage — observed
         # 25-45s with all executor threads serialized on the class-init lock.

@@ -49,6 +49,22 @@ def _bucket_expr(keys: list[str], n_buckets: int):
     ).cast("int")
 
 
+def content_fingerprint(df: DataFrame, cols: list[str]) -> tuple[int, str]:
+    """Order-free content fingerprint of `df` over `cols`: (row count,
+    "count:bit_xor-of-row-xxhash64"). One cheap agg job; the commutative
+    xor makes it independent of partitioning/ordering AND overflow-free
+    under Spark 4's ANSI mode (a long SUM over hashes raises — same reason
+    plans/pipeline.lineage_rows uses bit_xor). Used as the alias-dict
+    staleness detector (canon_map manifests) and the merge-intent delta id
+    (streaming/incremental.py)."""
+    row = (
+        df.select(F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)").alias("h"))
+        .first()
+    )
+    return int(row["n"]), f"{row['n']}:{row['h']}"
+
+
 def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
     """Attach a row-count observation so the WRITE job itself yields the
     manifest count — no post-write rescan of the output (the round-2
@@ -72,6 +88,9 @@ class StageStore:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.root, f"{stage}.manifest.json")
 
+    def _bucket_meta_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}.buckets.json")
+
     # ------------------------------------------------------------- state
     def is_done(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS")) and os.path.exists(
@@ -82,17 +101,48 @@ class StageStore:
         with open(self._manifest_path(stage)) as f:
             return json.load(f)
 
+    def annotate(self, stage: str, meta: dict) -> None:
+        """Merge extra keys into a committed stage's manifest (atomic
+        rename) — e.g. stamping a legacy canon_map with the alias-dict
+        fingerprint it is assumed to derive from."""
+        doc = self.manifest(stage)
+        doc.update(meta)
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path(stage))
+
     # ---------------------------------------------------------------- IO
-    def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+    def has_staging_leak(self, stage: str) -> bool:
+        """Leaked .spark-staging dir = a dynamic-partition-overwrite job died
+        mid-commit (some bucket dirs swapped, others not). Callers doing
+        ADDITIVE merges must treat the stage data as ambiguous and repair
+        exactly — upsert's own recount only fixes the manifest row count."""
+        return bool(glob.glob(os.path.join(self.path(stage), ".spark-staging*")))
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> DataFrame:
         """Overwrite the stage output; manifest committed only after _SUCCESS.
         Row count comes from an observe() on the write job — metadata-only
-        commit, no rescan."""
+        commit, no rescan. `meta` entries are recorded in the manifest (e.g.
+        the alias-dict fingerprint a canon_map was derived from)."""
         obs_df, obs = _observed(df)
         writer = obs_df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(stage))
-        self._commit_manifest(stage, rows=int(obs.get["rows"]), partition_by=partition_by or [])
+        # a plain overwrite replaces any bucketed layout → the sticky modulus
+        # sidecar no longer describes the data on disk
+        if os.path.exists(self._bucket_meta_path(stage)):
+            os.remove(self._bucket_meta_path(stage))
+        self._commit_manifest(
+            stage, rows=int(obs.get["rows"]), partition_by=partition_by or [], meta=meta
+        )
         return self.read(stage)
 
     def append_new(self, stage: str, df: DataFrame, keys: list[str] = KEYS) -> DataFrame:
@@ -147,9 +197,9 @@ class StageStore:
         target = self.path(stage)
         self._recover(stage)
         crashed = bool(glob.glob(os.path.join(target, ".spark-staging*")))
-        dfb = df.withColumn(
-            BUCKET_COL, _bucket_expr(keys, self._n_buckets(stage, n_buckets))
-        ).persist()
+        n_b = self._n_buckets(stage, n_buckets)
+        self._write_bucket_meta(stage, n_b)  # modulus durable before any data write
+        dfb = df.withColumn(BUCKET_COL, _bucket_expr(keys, n_b)).persist()
         try:
             if self.is_done(stage) and self._is_bucketed(stage):
                 raw_old = self.spark.read.parquet(target)
@@ -183,7 +233,7 @@ class StageStore:
                 shutil.rmtree(swap, ignore_errors=True)
                 old = self.read(stage)
                 kept = old.join(dfb.select(*keys).distinct(), keys, "left_anti").withColumn(
-                    BUCKET_COL, _bucket_expr(keys, self._n_buckets(stage, n_buckets))
+                    BUCKET_COL, _bucket_expr(keys, n_b)
                 )
                 merged, obs_out = _observed(kept.unionByName(dfb))
                 merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(swap)
@@ -195,10 +245,7 @@ class StageStore:
                 obs_df, obs = _observed(dfb)
                 obs_df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target)
                 rows = int(obs.get["rows"])
-            self._commit_manifest(
-                stage, rows=rows, partition_by=[BUCKET_COL],
-                n_buckets=self._n_buckets(stage, n_buckets),
-            )
+            self._commit_manifest(stage, rows=rows, partition_by=[BUCKET_COL], n_buckets=n_b)
         finally:
             dfb.unpersist()
         return self.read(stage)
@@ -215,39 +262,92 @@ class StageStore:
             self._commit_manifest(
                 stage, rows=self.spark.read.parquet(target).count(),
                 partition_by=[BUCKET_COL] if self._is_bucketed(stage) else [],
+                n_buckets=self._bucket_meta(stage) if self._is_bucketed(stage) else None,
             )
         shutil.rmtree(swap, ignore_errors=True)  # incomplete swap: safe to drop
         if not self.is_done(stage) and os.path.exists(os.path.join(target, "_SUCCESS")):
-            # write job committed but manifest commit was interrupted: adopt.
+            # write job committed but manifest commit was interrupted: adopt —
+            # WITH the sticky bucket modulus from the sidecar (re-committing
+            # without it let a later different-default upsert split the layout).
             self._commit_manifest(
                 stage, rows=self.spark.read.parquet(target).count(),
                 partition_by=[BUCKET_COL] if self._is_bucketed(stage) else [],
+                n_buckets=self._bucket_meta(stage) if self._is_bucketed(stage) else None,
             )
 
     def _is_bucketed(self, stage: str) -> bool:
         return bool(glob.glob(os.path.join(self.path(stage), f"{BUCKET_COL}=*")))
 
     def _n_buckets(self, stage: str, default: int) -> int:
-        """Bucket count is sticky per stage (recorded in the manifest) so a
-        caller changing the default cannot silently split the layout."""
+        """Bucket count is sticky per stage so a caller changing the default
+        cannot silently split the layout. Source of truth: the manifest,
+        falling back to the sidecar buckets.json — which survives manifest
+        loss (the _recover paths used to re-commit WITHOUT n_buckets, after
+        which a different-default upsert bucketed keys with the wrong modulus
+        and stale rows survived as duplicates)."""
         try:
-            return int(self.manifest(stage).get("n_buckets", default))
+            n = self.manifest(stage).get("n_buckets")
+            if n is not None:
+                return int(n)
         except FileNotFoundError:
-            return default
+            pass
+        sticky = self._bucket_meta(stage)
+        return int(sticky) if sticky is not None else default
+
+    def _bucket_meta(self, stage: str) -> int | None:
+        try:
+            with open(self._bucket_meta_path(stage)) as f:
+                return int(json.load(f)["n_buckets"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+
+    def _write_bucket_meta(self, stage: str, n_buckets: int) -> None:
+        """Sidecar record of the stage's bucket modulus, written BEFORE the
+        data write (atomic tmp+rename): a crash at any later point leaves the
+        modulus recoverable, and a full-directory overwrite of the stage data
+        cannot destroy it (it lives next to the manifest, not in the dir)."""
+        tmp = self._bucket_meta_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stage": stage, "n_buckets": n_buckets}, f)
+        os.replace(tmp, self._bucket_meta_path(stage))
 
     def read(self, stage: str) -> DataFrame:
         df = self.spark.read.parquet(self.path(stage))
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def read_pruned(self, stage: str, on: DataFrame, keys: list[str]) -> DataFrame:
+        """Rows of `stage` lying ONLY in the buckets touched by `on`'s key
+        tuples — a partition-pruned readback for merge paths. `plain read +
+        semi-join` scans the whole table (the semi-join happens after the
+        scan); this filters the partition column first, so the parquet
+        listing prunes to ≤ n_buckets dirs and the read is O(touched
+        buckets), matching upsert's write-side contract."""
+        if not self._is_bucketed(stage):
+            return self.read(stage)
+        n_b = self._n_buckets(stage, 64)
+        hot = [
+            r[0]
+            for r in on.select(_bucket_expr(keys, n_b).alias("b")).distinct().collect()
+        ]
+        raw = self.spark.read.parquet(self.path(stage))
+        return raw.where(F.col(BUCKET_COL).isin(hot)).drop(BUCKET_COL)
+
     def _commit_manifest(
-        self, stage: str, rows: int, partition_by: list[str], n_buckets: int | None = None
+        self,
+        stage: str,
+        rows: int,
+        partition_by: list[str],
+        n_buckets: int | None = None,
+        meta: dict | None = None,
     ) -> None:
-        meta = {"stage": stage, "rows": rows, "partition_by": partition_by}
+        doc = {"stage": stage, "rows": rows, "partition_by": partition_by}
         if n_buckets is not None:
-            meta["n_buckets"] = n_buckets
+            doc["n_buckets"] = n_buckets
+        if meta:
+            doc.update(meta)
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(meta, f)
+            json.dump(doc, f)
         os.replace(tmp, self._manifest_path(stage))  # atomic rename
 
     # ------------------------------------------------------------ resume

@@ -163,9 +163,12 @@ def stateful_dynamic_sessions_stream(
     exactly once, when it closes. emit='updates': UPDATE semantics — every
     trigger ALSO emits the open session's current aggregate, and an
     out-of-order event arriving in a later micro-batch (in-watermark
-    disorder) MERGES into the open session (count + widened start bound)
-    with the amended row re-emitted; the latest emission per
-    (user_id, session_id) is the current truth. This operator is the update
+    disorder) MERGES into the open session with the amended row re-emitted;
+    the latest emission per (user_id, session_id) is the current truth.
+    Lateness bound (both modes): an event older than the OPEN session's
+    start belongs to an already-emitted closed session and is DROPPED —
+    merging it would corrupt both sessions (the watermark role for this
+    operator; ADVICE r3 #3). This operator is the update
     surface because Spark itself refuses update mode for session_window
     aggregations (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION, verified on
     4.1 — session merge would have to retract previously-updated windows);
@@ -231,6 +234,15 @@ def stateful_dynamic_sessions_stream(
             t_us = int(pd.Timestamp(ts).value // 1000)
             if n == 0:
                 st, n = t_us, 1
+            elif t_us < st:
+                # older than the OPEN session's start: it belongs to an
+                # already-closed, already-emitted session — merging here
+                # would inflate the open session and widen it to overlap the
+                # closed one. Drop it: the open session's start is this
+                # operator's lateness bound (the watermark role; a
+                # session_window pipeline would likewise drop sub-watermark
+                # events). ADVICE r3 #3.
+                continue
             elif t_us <= lt:
                 # cross-batch in-watermark disorder: the event belongs inside
                 # the open session — merge (count + widened start), keep the

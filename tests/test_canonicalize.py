@@ -167,3 +167,55 @@ def test_components_partitioning_invariance(spark):
     a = sorted(map(tuple, connected_components(df.repartition(2)).collect()))
     b = sorted(map(tuple, connected_components(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_driver_mode_guarded_against_unbounded_collect(spark):
+    """VERDICT r3 #9: explicit mode='driver' used to collect() on trust; it
+    now probes size (bounded limit().count()) and refuses edge sets above
+    driver_threshold unless force_driver=True."""
+    import pytest
+
+    edges = spark.range(50).selectExpr("cast(id as string) as src",
+                                       "cast(id + 1 as string) as dst")
+    with pytest.raises(ValueError, match="driver_threshold"):
+        connected_components(edges, mode="driver", driver_threshold=10)
+    got = connected_components(edges, mode="driver", driver_threshold=10,
+                               force_driver=True)
+    # one chain -> one component rooted at the minimum id
+    assert got.select("comp").distinct().count() == 1
+
+
+def test_skew_aware_join_probe_picks_regime(spark):
+    """VERDICT r3 #6: the published ablation (salting wins 2.32x on a hub,
+    costs 0.69x at mild skew) encoded as a probe — plain join under mild
+    skew, salted under a 50%-hub key; identical rows either way."""
+    from pyspark.sql import functions as F
+
+    from docprocai_service_spark.operators.joins import salted_join, skew_aware_join
+
+    dim = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(50)] + [("hub", 999)], "key string, val int"
+    )
+    mild = spark.range(4000).select(
+        F.col("id").alias("rid"), F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("key")
+    )
+    hub = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit("hub"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))).alias("key"),
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    j_mild = skew_aware_join(mild, dim, key="key", salt_on="rid")
+    j_hub = skew_aware_join(hub, dim, key="key", salt_on="rid")
+    assert "__salt" not in plan_of(j_mild)  # mild skew: salting would be a net cost
+    assert "__salt" in plan_of(j_hub)  # hub regime: salting pays
+
+    # row-identical to the explicit variants in BOTH regimes
+    def key_rows(df):
+        return sorted(map(tuple, df.select("rid", "key", "val").collect()))
+
+    assert key_rows(j_mild) == key_rows(mild.join(dim, "key", "left"))
+    assert key_rows(j_hub) == key_rows(salted_join(hub, dim, key="key", salt_on="rid"))

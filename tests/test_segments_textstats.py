@@ -155,3 +155,40 @@ def test_winnow_vectorized_matches_naive_golden(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r["fp"] for r in df.coalesce(1).select(make_winnow_udf(k, w)(F.col("text")).alias("fp")).collect()]
     assert got == [naive(t) for t in texts]
+
+
+def test_winnow_latin_fast_path_and_small_k_match_naive(spark):
+    """The uint64-packed fast path (all codepoints < 256, k<=8) and its k<8
+    zero-padding must stay bit-identical to the naive formulation; a batch
+    with any cp>=256 row routes through the lexsort path instead (covered by
+    the golden above)."""
+    import zlib
+
+    import numpy as np
+
+    def naive(t, k, w):
+        if not t or len(t) < k:
+            return []
+        grams = [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
+        arr = np.array(grams, dtype=np.int64)
+        if len(arr) <= w:
+            return sorted({int(arr.min())})
+        view = np.lib.stride_tricks.sliding_window_view(arr, w)
+        return sorted({int(x) for x in view.min(axis=1)})
+
+    texts = [
+        "plain ascii text that repeats plain ascii text " * 3,
+        "latin-1 accents café façade entrée über " * 3,  # 128 <= cp < 256
+        "x" * 30,
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for k, w in [(8, 16), (5, 4)]:
+        got = [
+            r["fp"]
+            for r in df.coalesce(1)
+            .select(make_winnow_udf(k, w)(F.col("text")).alias("fp"))
+            .collect()
+        ]
+        assert got == [naive(t, k, w) for t in texts], (k, w)

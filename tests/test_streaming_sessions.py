@@ -224,3 +224,46 @@ def test_streaming_sessions_drop_late_past_watermark(spark, tmp_path):
     u1b = got2.filter("user_id = 1").collect()
     # the closed session is unchanged, and no duplicate/amended row appeared
     assert len(u1b) == 1 and u1b[0]["n_events"] == 2
+
+
+def test_stateful_sessions_drop_events_older_than_open_session(spark, tmp_path):
+    """ADVICE r3 #3: the cross-batch merge branch had no lower bound — an
+    event older than the OPEN session's start (i.e. belonging to an
+    already-closed, already-emitted session) must be DROPPED, not merged
+    into the open session (merging inflated n_events and widened the open
+    session to overlap the closed one)."""
+    from docprocai_service_spark.streaming.sessions import run_sessions_update_mode
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "din"), str(tmp_path / "dout"), str(tmp_path / "dck"))
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("append").parquet(in_dir)
+
+    # trigger 1: e1 then e2 with a similarity drop 20min later -> session 1
+    # CLOSES at e1, session 2 OPENS at e2
+    write_batch([
+        (1, "2024-01-01 08:00:00", 7, "a", 1.0, None),
+        (2, "2024-01-01 08:20:00", 7, "a", 50.0, None),
+    ])
+    run_sessions_update_mode(spark, in_dir, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).filter("user_id = 7").collect()
+    closed = [r for r in rows if r["session_id"] == 1]
+    opened = [r for r in rows if r["session_id"] == 2]
+    assert closed and closed[0]["n_events"] == 1
+    assert opened and opened[0]["n_events"] == 1
+
+    # trigger 2: an event BETWEEN the closed session and the open session's
+    # start — older than the open session: must be dropped
+    write_batch([(3, "2024-01-01 08:05:00", 7, "a", 1.0, None)])
+    run_sessions_update_mode(spark, in_dir, out_dir, ckpt)
+    rows2 = spark.read.parquet(out_dir).filter("user_id = 7").collect()
+    latest_open = max((r for r in rows2 if r["session_id"] == 2), key=lambda r: r["epoch"])
+    assert latest_open["n_events"] == 1  # NOT merged
+    assert latest_open["start_ts"] == opened[0]["start_ts"]  # NOT widened
+    # the closed session's single emission is untouched
+    assert len([r for r in rows2 if r["session_id"] == 1]) == 1
