@@ -547,6 +547,109 @@ def _corpus_frames(spark):
     return corpus_to_spark(spark, c)
 
 
+def _kg_pages_from_documents(spark, sf_dir):
+    """Deterministic web-page table CONSTRUCTED from the `documents` view with
+    pure SQL-expressible string ops, so the REAL extraction/triple/mention/
+    linking operators get a full DuckDB oracle (the kg_* entries over the
+    driver-built corpus are rows-only because the oracle cannot see that
+    corpus). The construction plants every extractor hazard: script/style/
+    comment content containing fake tags, nav/header/footer boilerplate,
+    entity escapes inside sentences, two sentences in one block, a
+    predicate-free sentence, unclosed-<main> pages (doc_id%19), empty-main
+    pages (doc_id%23), and non-English pages (doc_id%13) for the lang
+    dispatch."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+
+    def s(col):
+        return col.cast("string")
+
+    paras = F.concat(
+        F.lit("<p>Acme "), s(n % 17), F.lit(" supplies Zeta &amp; Sons.</p>"),
+        F.lit("<p>Beta Group acquired Gamma "), s(n % 5),
+        F.lit(". Also Delta Labs is headquartered in City "), s(n % 11), F.lit(".</p>"),
+        F.lit("<p>No predicate sentence here</p>"),
+        F.lit("<div>Epsilon &lt;X&gt; invested in Omega "), F.col("source"), F.lit("</div>"),
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>d"), s(n),
+        F.lit("</title><script>var x=1;</script>"),
+        F.lit("<style>p{color:red}</style><!-- note <p>hidden</p> --></head><body>"),
+        F.lit("<nav><ul><li>Home</li></ul></nav><header><h1>Doc "), s(n),
+        F.lit("</h1></header><main>"),
+        F.when(n % 23 == 0, F.lit("")).otherwise(paras),
+        F.when(n % 19 == 0, F.lit("")).otherwise(F.lit("</main>")),
+        F.lit("<footer>&copy; 2025 example &amp; co</footer>"),
+        F.when(n % 19 == 0, F.lit("")).otherwise(F.lit("</body></html>")),
+    )
+    return d.select(
+        F.concat(F.lit("doc://"), s(n)).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600).cast("long") + n).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.when(n % 13 == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
+    )
+
+
+def _kg_alias_df(spark):
+    """Inline alias dictionary over the constructed corpus's surfaces:
+    a tie (same prior -> min entity_id), an ambiguous alias (max prior
+    wins), and deliberate gaps (NIL links). Mirrored verbatim as a VALUES
+    CTE in the DuckDB oracle."""
+    return spark.createDataFrame(_KG_ALIAS_ROWS, "alias string, entity_id string, prior double")
+
+
+_KG_ALIAS_ROWS = [
+    ("beta group", "E001", 0.9),
+    ("beta group", "E000", 0.9),   # tie on prior -> min entity_id (E000)
+    ("zeta & sons", "E010", 0.5),
+    ("zeta & sons", "E011", 0.7),  # ambiguous -> higher prior (E011)
+    ("delta labs", "E020", 0.8),
+    ("acme 3", "E103", 0.3),       # only one Acme variant is linkable
+    ("epsilon <x>", "E030", 0.6),
+]
+
+
+def kg_extract_docs(spark, sf_dir):
+    """REAL extract_stage (Arrow UDF chain) over the SQL-constructed corpus —
+    byte-identity of the extraction contract, DuckDB-oracle-checked
+    (the north rule's 'byte-identical text per url' invariant)."""
+    from docprocai_service_spark.operators.extract import extract_stage
+
+    return extract_stage(_kg_pages_from_documents(spark, sf_dir)).select("url", "lang", "text")
+
+
+def kg_triples_docs(spark, sf_dir):
+    """REAL fused triples path (extract + sentence split + triple parse in one
+    Arrow pass) over the SQL-constructed corpus, oracle-checked."""
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    return t.select("url", "sent_no", "subj", "pred", "obj")
+
+
+def kg_mentions_docs(spark, sf_dir):
+    """REAL mentions_stage (sha256 mention ids) downstream of the fused
+    triples path, oracle-checked — pins the deterministic-id derivation."""
+    from docprocai_service_spark.operators.triples import fused_triples_stage, mentions_stage
+
+    m = mentions_stage(fused_triples_stage(_kg_pages_from_documents(spark, sf_dir)))
+    return m.select("mention_id", "url", "sent_no", "surface", "role")
+
+
+def kg_linked_docs(spark, sf_dir):
+    """REAL link_mentions (prereduced broadcast + NIL keep) over the
+    constructed corpus with an inline dictionary, oracle-checked — pins
+    the disambiguation total order (max prior, ties -> min entity_id)."""
+    from docprocai_service_spark.operators.linking import link_mentions
+    from docprocai_service_spark.operators.triples import fused_triples_stage, mentions_stage
+
+    m = mentions_stage(fused_triples_stage(_kg_pages_from_documents(spark, sf_dir)))
+    linked = link_mentions(m, _kg_alias_df(spark), strategy="prereduced")
+    return linked.select(
+        "mention_id", "surface", "entity_id", F.round("link_score", 6).alias("link_score")
+    )
+
+
 def kg_triples(spark, sf_dir):
     from docprocai_service_spark.operators.extract import extract_stage
     from docprocai_service_spark.operators.triples import triples_stage
@@ -627,6 +730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_linked_mentions": kg_linked_mentions,
         "kg_edges": kg_edges,
+        "kg_extract_docs": kg_extract_docs,
+        "kg_triples_docs": kg_triples_docs,
+        "kg_mentions_docs": kg_mentions_docs,
+        "kg_linked_docs": kg_linked_docs,
     }
 
 
@@ -667,6 +774,130 @@ _NGRAM_JACCARD_PAIRS_SQL = """
     )
     SELECT id1, id2, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
 """
+
+
+# DuckDB mirror of the FULL extraction -> sentence -> triple chain over the
+# corpus constructed by _kg_pages_from_documents. Every Python regex is
+# rewritten RE2-compatibly with identical semantics on this domain:
+#   * the boilerplate backreference </\1> is expanded into four literal
+#     alternatives;
+#   * the sentence-split lookbehind (?<=[.!?])\s+ becomes a capture-and-
+#     re-emit marker substitution (chr(1) cannot occur in the text);
+#   * the <main>/<body> fallback chain uses regexp_matches guards so an
+#     EMPTY successful match is taken, exactly like Python's re.search.
+# Entity unescape: sequential replaces with &amp; LAST are equivalent to the
+# one-pass table (replacements are never rescanned).
+_KG_DOCS_ORACLE_BASE = r"""
+WITH pages AS (
+  SELECT doc_id, 'doc://' || doc_id AS url,
+         CAST(1735689600 + doc_id AS BIGINT) * 1000000 AS ts_us,
+         CASE WHEN doc_id % 13 = 0 THEN 'de' ELSE 'en' END AS lang,
+         '<!DOCTYPE html><html><head><title>d' || doc_id || '</title><script>var x=1;</script>'
+         || '<style>p{color:red}</style><!-- note <p>hidden</p> --></head><body>'
+         || '<nav><ul><li>Home</li></ul></nav><header><h1>Doc ' || doc_id || '</h1></header>'
+         || '<main>'
+         || CASE WHEN doc_id % 23 = 0 THEN '' ELSE
+              '<p>Acme ' || (doc_id % 17) || ' supplies Zeta &amp; Sons.</p>'
+              || '<p>Beta Group acquired Gamma ' || (doc_id % 5)
+              || '. Also Delta Labs is headquartered in City ' || (doc_id % 11) || '.</p>'
+              || '<p>No predicate sentence here</p>'
+              || '<div>Epsilon &lt;X&gt; invested in Omega ' || source || '</div>'
+            END
+         || CASE WHEN doc_id % 19 = 0 THEN '' ELSE '</main>' END
+         || '<footer>&copy; 2025 example &amp; co</footer>'
+         || CASE WHEN doc_id % 19 = 0 THEN '' ELSE '</body></html>' END AS html
+  FROM documents
+),
+dropped AS (
+  SELECT doc_id, url, ts_us, lang,
+         regexp_replace(html,
+           '(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->',
+           '', 'g') AS s
+  FROM pages
+),
+scoped AS (
+  SELECT doc_id, url, ts_us, lang,
+         CASE
+           WHEN regexp_matches(s, '(?is)<main\b[^>]*>.*?</main>')
+             THEN regexp_extract(s, '(?is)<main\b[^>]*>(.*?)</main>', 1)
+           WHEN regexp_matches(s, '(?is)<main\b[^>]*>')
+             THEN regexp_extract(s, '(?is)<main\b[^>]*>(.*)$', 1)
+           WHEN regexp_matches(s, '(?is)<body\b[^>]*>.*?</body>')
+             THEN regexp_extract(s, '(?is)<body\b[^>]*>(.*?)</body>', 1)
+           WHEN regexp_matches(s, '(?is)<body\b[^>]*>')
+             THEN regexp_extract(s, '(?is)<body\b[^>]*>(.*)$', 1)
+           ELSE s END AS s
+  FROM dropped
+),
+extracted AS (
+  SELECT doc_id, url, ts_us, lang, nullif(
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(s,
+                      '(?is)<nav\b[^>]*>.*?</nav>|<header\b[^>]*>.*?</header>|<footer\b[^>]*>.*?</footer>|<aside\b[^>]*>.*?</aside>',
+                      '', 'g'),
+                    '(?i)<br\s*/?>|</(p|div|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)>',
+                    chr(10), 'g'),
+                  '(?s)<[^>]*>', '', 'g'),
+                '<[^>]*$', '', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+            '[ \t\r\f\v]+', ' ', 'g'),
+          '(?m)^[ ]+|[ ]+$', '', 'g'),
+        '\n{2,}', chr(10), 'g'),
+      chr(10)), '') AS text
+  FROM scoped
+),
+sents AS (
+  SELECT doc_id, url, ts_us, u.s AS sentence, CAST(u.i - 1 AS INT) AS sent_no
+  FROM (
+    SELECT doc_id, url, ts_us,
+           list_filter(
+             string_split(
+               regexp_replace(
+                 regexp_replace(text, '([.!?])[ \t\r\n\f\v]+', '\1' || chr(1), 'g'),
+                 '\n+', chr(1), 'g'),
+               chr(1)),
+             x -> x <> '') AS sl
+    FROM extracted WHERE lang = 'en' AND text IS NOT NULL
+  ) t, LATERAL (
+    SELECT unnest(list_transform(sl, (x, i) -> struct_pack(s := x, i := i)), recursive := true)
+  ) u(s, i)
+),
+triples AS (
+  SELECT url, ts_us, sent_no,
+         regexp_extract(sentence, '^(.+?) (__PRED__) (.+?)\.?$', 1) AS subj,
+         regexp_extract(sentence, '^(.+?) (__PRED__) (.+?)\.?$', 2) AS pred,
+         regexp_extract(sentence, '^(.+?) (__PRED__) (.+?)\.?$', 3) AS obj
+  FROM sents
+  WHERE regexp_matches(sentence, '^(.+?) (__PRED__) (.+?)\.?$')
+),
+mentions AS (
+  SELECT sha256(url || '|' || ts_us || '|' || sent_no || '|' || rs.role || '|' || rs.surface) AS mention_id,
+         url, sent_no, rs.surface AS surface, rs.role AS role
+  FROM triples, LATERAL (
+    SELECT unnest([struct_pack(role := 'subj', surface := subj),
+                   struct_pack(role := 'obj',  surface := obj)], recursive := true)
+  ) rs(role, surface)
+)
+""".replace(
+    "__PRED__",
+    "|".join(sorted(
+        ["is headquartered in", "is located in", "partnered with", "invested in",
+         "merged with", "acquired", "founded", "employs", "produces", "supplies",
+         "owns", "sued"], key=len, reverse=True)),
+)
+
+
+def _kg_alias_values_sql() -> str:
+    """The inline dictionary as a VALUES list, generated from the SAME rows
+    the Spark side uses so the two can never drift."""
+    return ", ".join(f"('{a}', '{e}', {p})" for a, e, p in _KG_ALIAS_ROWS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1001,8 +1232,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN assign a
               ON a.grp = r.grp AND r.rn >= a.s AND r.rn < a.s + least(3, a.j - a.s + 1)
         """,
+        "kg_extract_docs": _KG_DOCS_ORACLE_BASE + """
+            SELECT url, lang, text FROM extracted
+        """,
+        "kg_triples_docs": _KG_DOCS_ORACLE_BASE + """
+            SELECT url, sent_no, subj, pred, obj FROM triples
+        """,
+        "kg_mentions_docs": _KG_DOCS_ORACLE_BASE + """
+            SELECT mention_id, url, sent_no, surface, role FROM mentions
+        """,
+        "kg_linked_docs": _KG_DOCS_ORACLE_BASE + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id, prior FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            )
+            SELECT m.mention_id, m.surface, b.entity_id,
+                   round(CAST(b.prior AS DOUBLE), 6) AS link_score
+            FROM mentions m LEFT JOIN best b ON lower(m.surface) = b.alias
+        """,
         # simhash_near_dup_docs, ann_topk_embeddings,
-        # kg_triples, kg_linked_mentions, kg_edges: non-SQL-expressible
-        # (LSH banding / iterative components / pandas-UDF sketches) →
-        # rows-only checks by design.
+        # kg_triples, kg_linked_mentions, kg_edges: rows-only — these run on
+        # the driver-built corpus (make_corpus) the oracle cannot see, or use
+        # LSH banding / pandas-UDF sketches; their SEMANTICS are now oracle-
+        # checked end-to-end via the kg_*_docs twins above, which drive the
+        # SAME operators over a SQL-constructible corpus.
     }

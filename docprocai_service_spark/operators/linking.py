@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .joins import salted_join
+from .joins import salted_join, skew_aware_join
 
 
 def candidate_links(
@@ -38,12 +38,20 @@ def candidate_links(
     """mentions × alias_dict on lower(surface) = alias → candidate rows.
 
     Unmatched mentions are kept (NIL linking) with null entity_id/prior.
+
+    strategy='skew_aware': the beyond-broadcast path with the published
+    ablation encoded — a bounded hot-key probe picks the plain shuffle join
+    at mild skew (salting there is a measured 0.69× LOSS) and the salted
+    join only when a hub alias dominates (2.32× win); see
+    joins.skew_aware_join. 'salted' remains the explicit always-salt form.
     """
     m = mentions.withColumn("alias", F.lower(F.col("surface")))
     if strategy == "broadcast":
         cand = m.join(F.broadcast(alias_dict), "alias", "left")
     elif strategy == "salted":
         cand = salted_join(m, alias_dict, key="alias", salt_on="mention_id", n_salts=n_salts)
+    elif strategy == "skew_aware":
+        cand = skew_aware_join(m, alias_dict, key="alias", salt_on="mention_id", n_salts=n_salts)
     else:
         raise ValueError(f"unknown strategy: {strategy}")
     return cand.drop("alias")
@@ -84,7 +92,9 @@ def link_mentions(
     """mentions → linked_mentions(…, entity_id, link_score); entity_id null = NIL.
 
     strategy: 'prereduced' (default, narrow), 'broadcast' (window argmax),
-    'salted' (shuffle join + window argmax — the beyond-broadcast-size path).
+    'salted' (always-salted shuffle join + window argmax), 'skew_aware'
+    (beyond-broadcast-size path with the hot-key probe choosing plain vs
+    salted — the 100 TB default when the dictionary outgrows broadcast).
     """
     if strategy == "prereduced":
         # Materialize the tiny reduced dictionary BEFORE broadcasting: a

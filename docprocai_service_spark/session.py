@@ -67,10 +67,10 @@ def fat_binary_scan(spark: SparkSession, batch_rows: int = FAT_SCAN_BATCH):
     (a global 256 cost them a measured 15-30%).
     """
     key = "spark.sql.parquet.columnarReaderBatchSize"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
+    # get(key, None) returns None when the conf is not EXPLICITLY set (the
+    # built-in default doesn't count) — restoring via unset() keeps the
+    # session following Spark's default instead of pinning a stale copy.
+    old = spark.conf.get(key, None)
     spark.conf.set(key, str(batch_rows))
     try:
         yield spark

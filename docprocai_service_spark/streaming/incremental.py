@@ -13,8 +13,11 @@ Full-DAG incrementality (round 3): a micro-batch now flows through ALL
 stages — extract → triples → mentions → linked → (canon_map if absent) →
 additive edge merge → entities — not just the first three. The edge merge is
 bucket-scoped (StageStore.upsert dynamic partition overwrite) and ledgered
-per page so replays don't double-count; see merge_edge_deltas for the exact
-crash contract.
+per page so replays don't double-count; since round 4 it is EXACT under
+every crash schedule via a fingerprinted intent record (see
+merge_edge_deltas), and a changed alias dictionary is auto-detected via a
+content fingerprint in the canon_map manifest, triggering an exact
+relink + edge rebuild (the reference re-derives groupings per ingest).
 
 Priority ordering (ingest < linking in the reference,
 service/DocProcAiService.py:199,293) is the literal statement order below.
@@ -240,6 +243,11 @@ def merge_edge_deltas(store: StageStore, alias_dict: DataFrame, canon_map: DataF
                 store.append_new("edges_pages", pages, keys=KEYS)
                 _clear_intent(store)
                 return n_pages
+            if intent.get("state") == "done" and n_pages == 0:
+                # upsert AND ledger both committed; only the intent cleanup
+                # was lost — nothing to merge, don't pay a rebuild
+                _clear_intent(store)
+                return 0
             rebuild_edges(store, alias_dict, canon_map)
             _clear_intent(store)
             return n_pages

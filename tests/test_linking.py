@@ -27,7 +27,8 @@ def test_all_strategies_identical(mentions, spark_corpus):
     a = _links(link_mentions(mentions, alias, "prereduced"))
     b = _links(link_mentions(mentions, alias, "broadcast"))
     c = _links(link_mentions(mentions, alias, "salted", n_salts=4))
-    assert a == b == c
+    d = _links(link_mentions(mentions, alias, "skew_aware", n_salts=4))
+    assert a == b == c == d
     assert len(a) == mentions.count()  # exactly one row per mention
 
 

@@ -221,3 +221,39 @@ def test_upsert_nbuckets_survives_manifest_loss(spark, tmp_path):
     assert store.manifest("seg")["n_buckets"] == 16
     n_dirs = len(glob.glob(os.path.join(store.path("seg"), "__bucket=*")))
     assert 0 < n_dirs <= 16  # layout not split by the 64-bucket default
+
+
+def test_read_pruned_pushes_bucket_partition_filter(spark, tmp_path):
+    """ADVICE r3 #5: the merge readback must prune the __bucket partition
+    column BEFORE any join — a plain read + semi-join scans every bucket.
+    Asserts the partition filter reaches the scan node."""
+    from docprocai_service_spark.sources.manifest import StageStore
+
+    store = StageStore(spark, str(tmp_path / "rp"))
+    rows = [(f"u{i}", 1, f"p{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "url string, warc_ts int, payload string")
+    store.upsert("seg", df, keys=["url", "warc_ts"], n_buckets=8)
+    probe = spark.createDataFrame([("u1", 1), ("u2", 1)], "url string, warc_ts int")
+    pruned = store.read_pruned("seg", probe, keys=["url", "warc_ts"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the rows it returns are exactly the touched buckets' contents
+    got_urls = {r["url"] for r in pruned.collect()}
+    assert {"u1", "u2"} <= got_urls and len(got_urls) < 60
+
+
+def test_fat_binary_scan_scopes_and_restores_conf(spark):
+    """The 256-row parquet batch is scoped to fat-binary workloads; the
+    narrow-table default must be restored on exit (VERDICT r3 #2: the global
+    256 taxed every relational scan 15-30%)."""
+    from docprocai_service_spark.session import fat_binary_scan
+
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    before = spark.conf.get(key, None)
+    with fat_binary_scan(spark):
+        assert spark.conf.get(key) == "256"
+        with fat_binary_scan(spark, batch_rows=128):  # nesting restores outer
+            assert spark.conf.get(key) == "128"
+        assert spark.conf.get(key) == "256"
+    after = spark.conf.get(key, None)
+    assert after == before and after != "256"
