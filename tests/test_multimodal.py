@@ -116,3 +116,58 @@ def test_real_codec_is_explicitly_stubbed(media):
         sample_frames(media, codec="real")
     with pytest.raises(NotImplementedError):
         resize_images(media, 4, 4, codec="real")
+
+
+def test_wav_extract_real_riff_parse_and_resample(spark):
+    """wav_extract_audio is REAL for PCM WAV: stdlib-`wave`-written stereo
+    44.1kHz audio parses, mono-mixes, and resamples to 16kHz with output
+    matching an independent np.interp reference; non-PCM and junk rows
+    surface typed errors instead of bytes."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from docprocai_service_spark.operators.multimodal import wav_extract_audio
+
+    rate, dur_s = 44100, 0.25
+    t = np.arange(int(rate * dur_s))
+    left = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    right = (8000 * np.sin(2 * np.pi * 220 * t / rate)).astype("<i2")
+    stereo = np.column_stack([left, right]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(stereo.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # a RIFF container claiming a compressed codec (fmt tag 85 = mp3)
+    bad_fmt = struct.pack("<HHIIHH", 85, 2, rate, rate * 4, 4, 16)
+    mp3ish = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+              + b"fmt " + struct.pack("<I", 16) + bad_fmt
+              + b"data" + struct.pack("<I", 0))
+
+    media = spark.createDataFrame(
+        [("wav1", wav_bytes), ("mp3ish", mp3ish), ("junk", b"not audio at all")],
+        "media_id string, content binary",
+    )
+    rows = {r["media_id"]: r for r in wav_extract_audio(media).collect()}
+
+    ok = rows["wav1"]
+    assert ok["error"] is None
+    assert ok["n_channels"] == 2 and ok["n_samples"] == len(t)
+    assert ok["duration_ms"] == int(dur_s * 1000)
+    got = np.frombuffer(bytes(ok["pcm16"]), dtype="<i2")
+    # independent reference: mono mean then linear resample to 16k
+    mono = np.column_stack([left, right]).astype(np.float64).mean(axis=1)
+    n_out = int(round(len(mono) * 16000 / rate))
+    want = np.clip(np.rint(np.interp(np.arange(n_out) * (rate / 16000),
+                                     np.arange(len(mono)), mono)), -32768, 32767).astype("<i2")
+    assert len(got) == n_out and np.array_equal(got, want)
+
+    assert rows["mp3ish"]["error"] == "unsupported-codec:85"
+    assert rows["mp3ish"]["pcm16"] is None
+    assert rows["junk"]["error"] == "not-riff-wave"

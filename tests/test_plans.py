@@ -113,3 +113,20 @@ def test_whole_stage_codegen_in_triple_stage(spark, spark_corpus):
     # and silently evaluating the (expensive) UDF twice per page.
     assert executed.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p  # no row-at-a-time Python UDFs anywhere
+
+
+def test_kg_docs_chain_single_python_boundary(spark):
+    """The SQL-constructed kg_*_docs oracle twins must keep the production
+    plan shape: exactly ONE Python boundary (the fused mapInPandas parse),
+    zero row-at-a-time UDFs, and broadcast linking (no shuffle of the
+    mention stream)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    linked = entry.kg_linked_docs(spark, "/root/testdata/sf0.001")
+    p = linked._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") == 1  # fused extract+split+parse, once
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
