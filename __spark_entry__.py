@@ -650,6 +650,88 @@ def kg_linked_docs(spark, sf_dir):
     )
 
 
+def _tpch_entity_edges(spark, sf_dir):
+    """Typed entity graph derived from TPC-H with pure SQL string ops
+    (mirrored verbatim in the oracle): supplier→customer (traded-with, via
+    lineitem⋈orders), customer→nation, supplier→nation, nation→region."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+
+    def tag(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    sc = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(tag("S", "l_suppkey").alias("src"), tag("C", "o_custkey").alias("dst"))
+    )
+    cn = cu.select(tag("C", "c_custkey").alias("src"), tag("N", "c_nationkey").alias("dst"))
+    sn = su.select(tag("S", "s_suppkey").alias("src"), tag("N", "s_nationkey").alias("dst"))
+    nr = na.select(tag("N", "n_nationkey").alias("src"), tag("R", "n_regionkey").alias("dst"))
+    return sc.unionByName(cn).unionByName(sn).unionByName(nr)
+
+
+def khop_reach_tpch(spark, sf_dir):
+    """k-hop neighborhood sizes (k=3) over the TPC-H entity graph — the
+    BFS-style reach operator (operators/graph.py) with an EXACT integer
+    oracle (chained-join reach CTEs in DuckDB). The beyond-reference graph
+    feature a training pipeline derives from materialized KG edges."""
+    from docprocai_service_spark.operators.graph import khop_reach_counts
+
+    return khop_reach_counts(_tpch_entity_edges(spark, sf_dir), k=3)
+
+
+def pagerank_tpch(spark, sf_dir):
+    """Deterministic fixed-point PageRank (integer micro-unit mass — exact,
+    order-free sums, hence fully DuckDB-oracle-checkable; see
+    operators/graph.pagerank_fixed) over the TPC-H entity graph."""
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+
+    return pagerank_fixed(_tpch_entity_edges(spark, sf_dir), iters=6)
+
+
+def _pagerank_oracle_sql(iters: int = 6, damping_pct: int = 85) -> str:
+    """Unrolled-iteration DuckDB mirror of pagerank_fixed (recursive CTEs
+    cannot aggregate over the recursive reference, so each iteration is its
+    own CTE block — exact 64-bit floor arithmetic, identical to the Spark
+    loop by construction)."""
+    head = """
+        WITH e0 AS (
+          SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION
+          SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+          UNION
+          SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+          UNION
+          SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        outdeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        pr0 AS (SELECT id, CAST(1000000000000 // cnt.n AS BIGINT) AS rank FROM nodes, cnt)
+    """
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+        , pr{i} AS (
+          SELECT nd.id,
+                 CAST(((100 - {damping_pct}) * 1000000000000 // 100) // cnt.n
+                      + coalesce(s.c, 0) AS BIGINT) AS rank
+          FROM nodes nd CROSS JOIN cnt
+          LEFT JOIN (
+            SELECT e.dst AS id,
+                   CAST(sum((p.rank * {damping_pct}) // (o.outdeg * 100)) AS BIGINT) AS c
+            FROM e JOIN pr{i - 1} p ON e.src = p.id JOIN outdeg o ON o.id = e.src
+            GROUP BY e.dst
+          ) s ON s.id = nd.id
+        )""")
+    return head + "".join(blocks) + f"\n        SELECT id, rank FROM pr{iters}"
+
+
 def kg_triples(spark, sf_dir):
     from docprocai_service_spark.operators.extract import extract_stage
     from docprocai_service_spark.operators.triples import triples_stage
@@ -734,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_docs": kg_triples_docs,
         "kg_mentions_docs": kg_mentions_docs,
         "kg_linked_docs": kg_linked_docs,
+        "khop_reach_tpch": khop_reach_tpch,
+        "pagerank_tpch": pagerank_tpch,
     }
 
 
@@ -1252,6 +1336,34 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(b.prior AS DOUBLE), 6) AS link_score
             FROM mentions m LEFT JOIN best b ON lower(m.surface) = b.alias
         """,
+        "khop_reach_tpch": """
+            WITH e AS (
+              SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              UNION
+              SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+              UNION
+              SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+              UNION
+              SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+            ),
+            r1 AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+            r2 AS (
+              SELECT src, dst FROM r1
+              UNION
+              SELECT r1.src, e2.dst FROM r1 JOIN r1 e2 ON r1.dst = e2.src
+              WHERE r1.src <> e2.dst
+            ),
+            r3 AS (
+              SELECT src, dst FROM r2
+              UNION
+              SELECT r2.src, e2.dst FROM r2 JOIN r1 e2 ON r2.dst = e2.src
+              WHERE r2.src <> e2.dst
+            )
+            SELECT src AS id, CAST(count(*) AS BIGINT) AS n_reach
+            FROM r3 GROUP BY src
+        """,
+        "pagerank_tpch": _pagerank_oracle_sql(iters=6),
         # simhash_near_dup_docs, ann_topk_embeddings,
         # kg_triples, kg_linked_mentions, kg_edges: rows-only — these run on
         # the driver-built corpus (make_corpus) the oracle cannot see, or use

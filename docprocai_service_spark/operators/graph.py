@@ -1,0 +1,114 @@
+"""Distributed graph neighborhood operators over materialized KG edges.
+
+Beyond the reference (which has no graph analytics at all — its only
+graph-shaped computation is the transitive grouping inside BERTopic refits,
+reference: service/DocProcAiService.py:186-189, covered here by
+operators/canonicalize.py): once entities and edges are materialized, a
+training-data pipeline wants NEIGHBORHOOD features — how many distinct
+nodes an entity reaches in <= k hops, which hub it sits under, etc. This
+module provides the BFS-style building block as pure DataFrame ops.
+
+Scale notes: the reach set is materialized as DISTINCT (src, dst) pairs, so
+per-round cost is one equi-join shuffle + one distinct — the same shape as
+one round of connected_components, with the same lineage-truncation hazard
+(checkpoint per round). Total size is bounded by sum of k-hop neighborhood
+sizes; for hub-heavy graphs cap k small (k=2..3 is what feature pipelines
+use) — an unbounded k is transitive closure, which is what
+connected_components is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def khop_reach(edges: DataFrame, k: int = 2) -> DataFrame:
+    """Directed reach pairs: (src, dst) such that dst is reachable from src
+    in 1..k hops (self excluded unless the graph has a genuine cycle back).
+
+    reach_1 = E;  reach_i = reach_{i-1} ∪ (reach_{i-1} ⋈ E), deduped per
+    round — one shuffle join + one distinct per hop, lineage truncated so
+    round i does not replay rounds 1..i-1.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    reach = pairs.localCheckpoint()
+    for _ in range(1, k):
+        ext = (
+            reach.alias("r")
+            .join(pairs.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        reach = reach.union(ext).distinct().localCheckpoint()
+    return reach
+
+
+#: PageRank mass is carried in integer micro-units of 1e-12 so every sum is
+#: EXACT and order-free — the whole iteration is deterministic under any
+#: partitioning, which is what makes it hash-comparable against a SQL oracle
+#: (a float PageRank's per-node sums reorder across partitionings and can
+#: flip rounded digits).
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 10, damping_pct: int = 85) -> DataFrame:
+    """Deterministic fixed-point PageRank over directed (src, dst) edges.
+
+    rank'(v) = floor(0.15*SCALE/n) + Σ_{u→v} floor(rank(u)*85 / (100*outdeg(u)))
+
+    All arithmetic is 64-bit integer (floor division), so the result is a
+    pure function of the edge set — independent of partitioning, join order,
+    and summation order. The floor truncation leaks a vanishing amount of
+    mass per iteration (≤ outdeg(u) micro-units per node); this is the
+    documented price of exactness. Dangling nodes leak their mass (the
+    standard simplification). One join + one aggregation shuffle per
+    iteration, lineage truncated per round like connected_components.
+
+    Output: (id, rank) with rank in micro-units (BIGINT); divide by
+    PR_SCALE for the conventional [0, 1] value.
+    """
+    pairs = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .union(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = pairs.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    base = ((100 - damping_pct) * PR_SCALE // 100) // n
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            pairs.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"(rank * {damping_pct}) DIV (outdeg * 100)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base).cast("long") + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def khop_reach_counts(edges: DataFrame, k: int = 2) -> DataFrame:
+    """(id, n_reach): number of DISTINCT nodes reachable from id in <= k
+    hops — the neighborhood-size feature column. Exact (integer) semantics,
+    so it carries a full SQL oracle (unlike sketch-based ops)."""
+    return (
+        khop_reach(edges, k=k)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reach"))
+    )

@@ -219,3 +219,40 @@ def test_skew_aware_join_probe_picks_regime(spark):
 
     assert key_rows(j_mild) == key_rows(mild.join(dim, "key", "left"))
     assert key_rows(j_hub) == key_rows(salted_join(hub, dim, key="key", salt_on="rid"))
+
+
+def test_khop_reach_counts_exact_small_graph(spark):
+    """BFS reach on a hand-built DAG with a diamond + chain: exact integer
+    neighborhood sizes per k."""
+    from docprocai_service_spark.operators.graph import khop_reach_counts
+
+    # a->b->d->e, a->c->d; isolated pair x->y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    k1 = {r["id"]: r["n_reach"] for r in khop_reach_counts(edges, k=1).collect()}
+    assert k1 == {"a": 2, "b": 1, "c": 1, "d": 1, "x": 1}
+    k2 = {r["id"]: r["n_reach"] for r in khop_reach_counts(edges, k=2).collect()}
+    assert k2 == {"a": 3, "b": 2, "c": 2, "d": 1, "x": 1}  # a reaches b,c,d
+    k3 = {r["id"]: r["n_reach"] for r in khop_reach_counts(edges, k=3).collect()}
+    assert k3 == {"a": 4, "b": 2, "c": 2, "d": 1, "x": 1}  # + e for a
+
+
+def test_pagerank_fixed_deterministic_and_sane(spark):
+    """Fixed-point PageRank: exact integer mass — identical output under
+    different partitionings, hub node ranks highest, total mass bounded."""
+    from docprocai_service_spark.operators.graph import PR_SCALE, pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("c", "a")],
+        "src string, dst string",
+    )
+    r1 = {r["id"]: r["rank"] for r in pagerank_fixed(edges, iters=8).collect()}
+    r2 = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixed(edges.repartition(7), iters=8).collect()
+    }
+    assert r1 == r2  # partitioning-independent, bit-exact
+    assert max(r1, key=r1.get) == "hub"
+    assert 0 < sum(r1.values()) <= PR_SCALE  # mass conserved up to floor leaks
