@@ -598,6 +598,9 @@ def _kg_alias_df(spark):
     return spark.createDataFrame(_KG_ALIAS_ROWS, "alias string, entity_id string, prior double")
 
 
+# Exactly ONE alias per entity_id: kg_edges_docs' oracle mirrors the
+# max_by(alias, length) name derivation as plain max(alias), which is only
+# equivalent under this invariant. Keep it if adding rows.
 _KG_ALIAS_ROWS = [
     ("beta group", "E001", 0.9),
     ("beta group", "E000", 0.9),   # tie on prior -> min entity_id (E000)
@@ -732,6 +735,47 @@ def _pagerank_oracle_sql(iters: int = 6, damping_pct: int = 85) -> str:
     return head + "".join(blocks) + f"\n        SELECT id, rank FROM pr{iters}"
 
 
+def kg_edges_docs(spark, sf_dir):
+    """The COMPLETE KG DAG — extract → triples → link → canonicalize →
+    resolve → weighted edges — over the SQL-constructed corpus, end-to-end
+    DuckDB-oracle-checked. The REAL canonicalize_entities runs (LSH +
+    components); on this dictionary's names the grouping provably reduces to
+    exact-name equality (no distinct-name pair reaches Jaccard 0.7), which
+    is what lets the oracle mirror it as min(entity_id) per name — the LSH
+    mechanics themselves are oracle-checked separately
+    (minhash_near_dup_docs / near_dup_groups_docs). Bucket column omitted
+    (Spark-internal xxhash64 has no DuckDB twin), matching kg_edges."""
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.materialize import edges_table, resolve_entities
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    return edges_table(resolve_entities(t, alias, canon)).select(
+        "src_entity", "dst_entity", "pred", "weight"
+    )
+
+
+def kg_entities_docs(spark, sf_dir):
+    """Canonical entity registry (materialize's second output): id = MIN
+    member id, canonical_name = that member's name, member_count — order-free
+    reductions, oracle-checked (arg_min in DuckDB). Bucket omitted as in
+    kg_edges_docs."""
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.materialize import entities_table
+
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    return entities_table(alias, canon).select("entity_id", "canonical_name", "member_count")
+
+
 def kg_triples(spark, sf_dir):
     from docprocai_service_spark.operators.extract import extract_stage
     from docprocai_service_spark.operators.triples import triples_stage
@@ -816,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_docs": kg_triples_docs,
         "kg_mentions_docs": kg_mentions_docs,
         "kg_linked_docs": kg_linked_docs,
+        "kg_edges_docs": kg_edges_docs,
+        "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
         "pagerank_tpch": pagerank_tpch,
     }
@@ -1362,6 +1408,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, CAST(count(*) AS BIGINT) AS n_reach
             FROM r3 GROUP BY src
+        """,
+        "kg_edges_docs": _KG_DOCS_ORACLE_BASE + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            )
+            SELECT src_entity, dst_entity, pred, CAST(count(*) AS BIGINT) AS weight
+            FROM resolved GROUP BY src_entity, dst_entity, pred
+        """,
+        "kg_entities_docs": f"""
+            WITH alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, name,
+                     min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            )
+            SELECT canon_id AS entity_id,
+                   arg_min(name, entity_id) AS canonical_name,
+                   CAST(count(*) AS BIGINT) AS member_count
+            FROM canon GROUP BY canon_id
         """,
         "pagerank_tpch": _pagerank_oracle_sql(iters=6),
         # simhash_near_dup_docs, ann_topk_embeddings,
