@@ -917,6 +917,53 @@ _NGRAM_JACCARD_PAIRS_SQL = """
 #     EMPTY successful match is taken, exactly like Python's re.search.
 # Entity unescape: sequential replaces with &amp; LAST are equivalent to the
 # one-pass table (replacements are never rescanned).
+def duckdb_extract_sql(col: str) -> str:
+    """DuckDB scalar expression mirroring functions/text.extract_text_str on
+    `col` (string) — the same RE2-compatible rewrites the kg_*_docs oracles
+    use, factored out so a hypothesis fuzz test can drive it against the
+    Python extractor on arbitrary inputs (tests/test_fuzz_parity.py).
+    Returns SQL yielding the extracted text or NULL."""
+    dropped = (
+        f"regexp_replace({col}, "
+        r"'(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->'"
+        ", '', 'g')"
+    )
+    scoped = rf"""(
+      SELECT CASE
+        WHEN regexp_matches(s, '(?is)<main\b[^>]*>.*?</main>')
+          THEN regexp_extract(s, '(?is)<main\b[^>]*>(.*?)</main>', 1)
+        WHEN regexp_matches(s, '(?is)<main\b[^>]*>')
+          THEN regexp_extract(s, '(?is)<main\b[^>]*>(.*)$', 1)
+        WHEN regexp_matches(s, '(?is)<body\b[^>]*>.*?</body>')
+          THEN regexp_extract(s, '(?is)<body\b[^>]*>(.*?)</body>', 1)
+        WHEN regexp_matches(s, '(?is)<body\b[^>]*>')
+          THEN regexp_extract(s, '(?is)<body\b[^>]*>(.*)$', 1)
+        ELSE s END
+      FROM (SELECT {dropped} AS s)
+    )"""
+    return rf"""nullif(
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace({scoped},
+                      '(?is)<nav\b[^>]*>.*?</nav>|<header\b[^>]*>.*?</header>|<footer\b[^>]*>.*?</footer>|<aside\b[^>]*>.*?</aside>',
+                      '', 'g'),
+                    '(?i)<br\s*/?>|</(p|div|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)>',
+                    chr(10), 'g'),
+                  '(?s)<[^>]*>', '', 'g'),
+                '<[^>]*$', '', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+            '[ \t\r\f\v]+', ' ', 'g'),
+          '(?m)^[ ]+|[ ]+$', '', 'g'),
+        '\n{{2,}}', chr(10), 'g'),
+      chr(10)), '')"""
+
+
 _KG_DOCS_ORACLE_BASE = r"""
 WITH pages AS (
   SELECT doc_id, 'doc://' || doc_id AS url,
@@ -938,50 +985,10 @@ WITH pages AS (
          || CASE WHEN doc_id % 19 = 0 THEN '' ELSE '</body></html>' END AS html
   FROM documents
 ),
-dropped AS (
-  SELECT doc_id, url, ts_us, lang,
-         regexp_replace(html,
-           '(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->',
-           '', 'g') AS s
-  FROM pages
-),
-scoped AS (
-  SELECT doc_id, url, ts_us, lang,
-         CASE
-           WHEN regexp_matches(s, '(?is)<main\b[^>]*>.*?</main>')
-             THEN regexp_extract(s, '(?is)<main\b[^>]*>(.*?)</main>', 1)
-           WHEN regexp_matches(s, '(?is)<main\b[^>]*>')
-             THEN regexp_extract(s, '(?is)<main\b[^>]*>(.*)$', 1)
-           WHEN regexp_matches(s, '(?is)<body\b[^>]*>.*?</body>')
-             THEN regexp_extract(s, '(?is)<body\b[^>]*>(.*?)</body>', 1)
-           WHEN regexp_matches(s, '(?is)<body\b[^>]*>')
-             THEN regexp_extract(s, '(?is)<body\b[^>]*>(.*)$', 1)
-           ELSE s END AS s
-  FROM dropped
-),
 extracted AS (
-  SELECT doc_id, url, ts_us, lang, nullif(
-    trim(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            replace(replace(replace(replace(replace(replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(s,
-                      '(?is)<nav\b[^>]*>.*?</nav>|<header\b[^>]*>.*?</header>|<footer\b[^>]*>.*?</footer>|<aside\b[^>]*>.*?</aside>',
-                      '', 'g'),
-                    '(?i)<br\s*/?>|</(p|div|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)>',
-                    chr(10), 'g'),
-                  '(?s)<[^>]*>', '', 'g'),
-                '<[^>]*$', '', 'g'),
-              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-            '[ \t\r\f\v]+', ' ', 'g'),
-          '(?m)^[ ]+|[ ]+$', '', 'g'),
-        '\n{2,}', chr(10), 'g'),
-      chr(10)), '') AS text
-  FROM scoped
+  SELECT doc_id, url, ts_us, lang,
+         """ + duckdb_extract_sql("html") + r""" AS text
+  FROM pages
 ),
 sents AS (
   SELECT doc_id, url, ts_us, u.s AS sentence, CAST(u.i - 1 AS INT) AS sent_no

@@ -94,3 +94,43 @@ def test_jvm_triple_parse_equals_python_on_adversarial(spark, fuzz_sentences):
     want = sorted(want)
     assert fused == want, "fused path diverges from the scalar oracle"
     assert staged == want, "JVM path diverges from the scalar oracle"
+
+
+# ---------------------------------------------------------------------------
+# Python extractor vs its DuckDB RE2 mirror (the kg_*_docs oracle chain).
+# RE2 has no lookbehind/backreferences and ASCII-only \s//(?i) folding, so
+# the mirror uses rewrites whose equivalence must hold on adversarial input,
+# not just the constructed corpus. Alphabet: HTML structure fragments,
+# entities, malformed tags, whitespace runs, non-whitespace unicode (unicode
+# WHITESPACE inside tags is the documented boundary: Python \s would match
+# it, RE2's would not — no crawl-realistic html depends on that).
+# ---------------------------------------------------------------------------
+
+_HTMLISH = st.sampled_from(
+    ["<main>", "</main>", "<body>", "</body>", "<p>", "</p>", "<div>", "</div>",
+     "<nav>", "</nav>", "<header>", "</header>", "<footer>", "</footer>",
+     "<aside>", "</aside>", "<script>var x=1;</script>", "<style>p{x}</style>",
+     "<!-- hidden <p>c</p> -->", "<br/>", "<br >", "<ul>", "</ul>", "<li>", "</li>",
+     "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+     "text", "word.", "two  spaces", "\n", "\t", "  ", "é", "☃", "日本",
+     "<", ">", "<unclosed", "<MAIN>", "</MAIN>", "<Main id='x'>", "a<b",
+     "</h3>", "<h1>", "</table>", "<tr>", "</blockquote>", ".", "!", "?"]
+)
+_FUZZ_HTML = st.lists(_HTMLISH, min_size=0, max_size=25).map("".join)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_FUZZ_HTML)
+def test_extract_python_equals_duckdb_re2_mirror(html):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import duckdb_extract_sql
+
+    want = extract_text_str(html)
+    got = duckdb.execute(
+        f"SELECT {duckdb_extract_sql('html')} FROM (SELECT ? AS html)", [html]
+    ).fetchone()[0]
+    assert got == want, (html, got, want)
