@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .canonicalize import _truncate_lineage
 
-def khop_reach(edges: DataFrame, k: int = 2) -> DataFrame:
+
+def khop_reach(edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False) -> DataFrame:
     """Directed reach pairs: (src, dst) such that dst is reachable from src
     in 1..k hops (self excluded unless the graph has a genuine cycle back).
 
@@ -34,7 +36,10 @@ def khop_reach(edges: DataFrame, k: int = 2) -> DataFrame:
     if k < 1:
         raise ValueError("k must be >= 1")
     pairs = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    reach = pairs.localCheckpoint()
+    # reliable_checkpoint=True writes round outputs to the configured
+    # checkpoint dir (HDFS/S3 on a cluster) so an executor loss mid-iteration
+    # cannot kill the job — same contract as connected_components.
+    reach = _truncate_lineage(pairs, reliable_checkpoint)
     for _ in range(1, k):
         ext = (
             reach.alias("r")
@@ -42,7 +47,7 @@ def khop_reach(edges: DataFrame, k: int = 2) -> DataFrame:
             .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
-        reach = reach.union(ext).distinct().localCheckpoint()
+        reach = _truncate_lineage(reach.union(ext).distinct(), reliable_checkpoint)
     return reach
 
 
@@ -54,7 +59,12 @@ def khop_reach(edges: DataFrame, k: int = 2) -> DataFrame:
 PR_SCALE = 1_000_000_000_000
 
 
-def pagerank_fixed(edges: DataFrame, iters: int = 10, damping_pct: int = 85) -> DataFrame:
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_pct: int = 85,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
     """Deterministic fixed-point PageRank over directed (src, dst) edges.
 
     rank'(v) = floor(0.15*SCALE/n) + Σ_{u→v} floor(rank(u)*85 / (100*outdeg(u)))
@@ -70,12 +80,12 @@ def pagerank_fixed(edges: DataFrame, iters: int = 10, damping_pct: int = 85) -> 
     Output: (id, rank) with rank in micro-units (BIGINT); divide by
     PR_SCALE for the conventional [0, 1] value.
     """
-    pairs = edges.select("src", "dst").distinct().localCheckpoint()
-    nodes = (
+    pairs = _truncate_lineage(edges.select("src", "dst").distinct(), reliable_checkpoint)
+    nodes = _truncate_lineage(
         pairs.select(F.col("src").alias("id"))
         .union(pairs.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoint,
     )
     n = nodes.count()
     outdeg = pairs.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -98,17 +108,19 @@ def pagerank_fixed(edges: DataFrame, iters: int = 10, damping_pct: int = 85) -> 
                 "id",
                 (F.lit(base).cast("long") + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = _truncate_lineage(ranks, reliable_checkpoint)
     return ranks
 
 
-def khop_reach_counts(edges: DataFrame, k: int = 2) -> DataFrame:
+def khop_reach_counts(
+    edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False
+) -> DataFrame:
     """(id, n_reach): number of DISTINCT nodes reachable from id in <= k
     hops — the neighborhood-size feature column. Exact (integer) semantics,
     so it carries a full SQL oracle (unlike sketch-based ops)."""
     return (
-        khop_reach(edges, k=k)
+        khop_reach(edges, k=k, reliable_checkpoint=reliable_checkpoint)
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_reach"))
     )
