@@ -351,3 +351,38 @@ def test_alias_dict_change_triggers_exact_refresh(spark, spark_corpus, tmp_path)
     assert m2 == {"new_pages": 0}
     full.triples.unpersist()
     full.canon_map.unpersist()
+
+
+def test_edge_merge_double_crash_converges_via_rebuild(spark, spark_corpus, tmp_path):
+    """Crash during the merge upsert AND again during the repair rebuild's
+    upsert: the intent record survives both, so the second retry rebuilds
+    exactly — no state is ever half-trusted."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "intent3"))
+    b1 = pages.limit(120).localCheckpoint()
+    b2 = pages.join(b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    incremental_ingest(spark, b1, store, alias_dict=alias)
+
+    real_upsert = StageStore.upsert
+    crashes = {"n": 0}
+
+    def crashing_upsert(self, stage, df, keys=None, n_buckets=64):
+        if stage == "edges" and crashes["n"] < 2:
+            crashes["n"] += 1
+            raise RuntimeError(f"simulated crash #{crashes['n']}")
+        return real_upsert(self, stage, df, keys=keys, n_buckets=n_buckets)
+
+    StageStore.upsert = crashing_upsert
+    try:
+        with pytest.raises(RuntimeError):
+            incremental_ingest(spark, b2, store, alias_dict=alias)  # merge crash
+        with pytest.raises(RuntimeError):
+            incremental_ingest(spark, b2, store, alias_dict=alias)  # rebuild crash
+    finally:
+        StageStore.upsert = real_upsert
+    assert crashes["n"] == 2
+    incremental_ingest(spark, b2, store, alias_dict=alias)
+    full = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    assert _edges_key(store.read("edges")) == _edges_key(full.edges)
+    full.triples.unpersist()
+    full.canon_map.unpersist()
