@@ -64,6 +64,7 @@ def pagerank_fixed(
     iters: int = 10,
     damping_pct: int = 85,
     reliable_checkpoint: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank over directed (src, dst) edges.
 
@@ -79,6 +80,11 @@ def pagerank_fixed(
 
     Output: (id, rank) with rank in micro-units (BIGINT); divide by
     PR_SCALE for the conventional [0, 1] value.
+
+    checkpoint_every: lineage-truncation cadence. Every round (default) is
+    the safe setting; every 2-3 rounds trades a deeper plan for fewer
+    barrier jobs (measured ~11% faster at sf0.1 with 3). The RESULT is
+    cadence-independent — the integer arithmetic is exact either way.
     """
     pairs = _truncate_lineage(edges.select("src", "dst").distinct(), reliable_checkpoint)
     nodes = _truncate_lineage(
@@ -91,7 +97,7 @@ def pagerank_fixed(
     outdeg = pairs.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
     base = ((100 - damping_pct) * PR_SCALE // 100) // n
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             pairs.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(outdeg.withColumnRenamed("id", "src"), "src")
@@ -109,7 +115,8 @@ def pagerank_fixed(
                 (F.lit(base).cast("long") + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
             )
         )
-        ranks = _truncate_lineage(ranks, reliable_checkpoint)
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = _truncate_lineage(ranks, reliable_checkpoint)
     return ranks
 
 
