@@ -54,12 +54,15 @@ def incremental_ingest(
     re-enqueue-PROCESSING sweep, without per-row state).
 
     With `alias_dict` the batch runs the FULL DAG: new mentions are linked
-    (append by mention_id), the canonical map is computed once (it depends
-    only on the alias dictionary — recompute by invalidating 'canon_map'
-    when the dictionary changes), edge weights are merged additively and
-    bucket-scoped (merge_edge_deltas), and the entity registry is refreshed
-    (idempotent overwrite of a dimension-sized table). Without it, the batch
-    stops after mentions (round-2 behavior, kept for ingest-only callers).
+    (append by mention_id), the canonical map is computed once and stamped
+    with the dictionary's content fingerprint — a CHANGED dictionary on a
+    later batch is detected automatically and triggers an exact relink +
+    edge rebuild (no manual invalidate needed; round 4) — edge weights are
+    merged additively and bucket-scoped (merge_edge_deltas, exact under
+    every crash schedule), and the entity registry is refreshed (idempotent
+    overwrite of a dimension-sized table). Without it, the batch stops after
+    mentions (ingest-only callers; the edge ledger still bootstraps so a
+    later full-DAG batch merges these pages).
     """
     from ..session import fat_binary_scan
 
