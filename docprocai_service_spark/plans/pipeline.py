@@ -30,6 +30,7 @@ from ..operators.extract import extract_stage
 from ..operators.linking import link_mentions
 from ..operators.materialize import edges_table, entities_table, resolve_entities
 from ..operators.triples import fused_triples_stage, mentions_stage, triples_stage
+from ..session import fat_binary_scan
 from ..sources.manifest import StageStore, content_fingerprint
 
 
@@ -166,7 +167,16 @@ def run_pipeline(
                     if name == "canon_map"
                     else None
                 )
-                df = store.write(name, make(), partition_by=_PARTITION_BY.get(name), meta=meta)
+                if name in ("extracted", "triples"):
+                    # These two stage writes are the only actions that scan
+                    # the fat ~5KB html / extracted-text columns — scope the
+                    # 256-row parquet batch to them so every narrow stage
+                    # readback downstream keeps the 4096 default (ADVICE r4:
+                    # a job-wide scope taxed narrow scans 15-30%).
+                    with fat_binary_scan(spark):
+                        df = store.write(name, make(), partition_by=_PARTITION_BY.get(name), meta=meta)
+                else:
+                    df = store.write(name, make(), partition_by=_PARTITION_BY.get(name), meta=meta)
         else:
             # No store: cache ONLY the multi-consumer stages (triples feeds
             # mentions + edge resolution; canon_map feeds resolution +

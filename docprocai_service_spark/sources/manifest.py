@@ -197,11 +197,21 @@ class StageStore:
         target = self.path(stage)
         self._recover(stage)
         crashed = bool(glob.glob(os.path.join(target, ".spark-staging*")))
+        # A bucketed stage whose modulus is unrecorded (manifest + sidecar
+        # both lost) cannot be merged bucket-scoped: a guessed modulus reads
+        # back the wrong dirs and stale rows survive as duplicates. Route it
+        # through the full-rebucket migration path below (one-time, exact).
+        modulus_known = self._recorded_n_buckets(stage) is not None or not self._is_bucketed(stage)
         n_b = self._n_buckets(stage, n_buckets)
-        self._write_bucket_meta(stage, n_b)  # modulus durable before any data write
+        if modulus_known:
+            self._write_bucket_meta(stage, n_b)  # modulus durable before any data write
+        # (unknown modulus: recording the guessed default BEFORE the rebucket
+        # migration completes would let a crashed migration replay as a
+        # bucket-scoped merge under the wrong modulus — record it only after
+        # the swap rename below)
         dfb = df.withColumn(BUCKET_COL, _bucket_expr(keys, n_b)).persist()
         try:
-            if self.is_done(stage) and self._is_bucketed(stage):
+            if self.is_done(stage) and self._is_bucketed(stage) and modulus_known:
                 raw_old = self.spark.read.parquet(target)
                 hot = [r[0] for r in dfb.select(BUCKET_COL).distinct().collect()]
                 old_hot, obs_old = _observed(raw_old.where(F.col(BUCKET_COL).isin(hot)))
@@ -241,6 +251,7 @@ class StageStore:
                 self.invalidate(stage)  # manifest+_SUCCESS gone BEFORE the dir swap
                 shutil.rmtree(target)
                 os.rename(swap, target)
+                self._write_bucket_meta(stage, n_b)
             else:
                 obs_df, obs = _observed(dfb)
                 obs_df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target)
@@ -278,13 +289,9 @@ class StageStore:
     def _is_bucketed(self, stage: str) -> bool:
         return bool(glob.glob(os.path.join(self.path(stage), f"{BUCKET_COL}=*")))
 
-    def _n_buckets(self, stage: str, default: int) -> int:
-        """Bucket count is sticky per stage so a caller changing the default
-        cannot silently split the layout. Source of truth: the manifest,
-        falling back to the sidecar buckets.json — which survives manifest
-        loss (the _recover paths used to re-commit WITHOUT n_buckets, after
-        which a different-default upsert bucketed keys with the wrong modulus
-        and stale rows survived as duplicates)."""
+    def _recorded_n_buckets(self, stage: str) -> int | None:
+        """The stage's durably-recorded bucket modulus, or None if neither
+        the manifest nor the sidecar buckets.json records one."""
         try:
             n = self.manifest(stage).get("n_buckets")
             if n is not None:
@@ -292,7 +299,17 @@ class StageStore:
         except FileNotFoundError:
             pass
         sticky = self._bucket_meta(stage)
-        return int(sticky) if sticky is not None else default
+        return int(sticky) if sticky is not None else None
+
+    def _n_buckets(self, stage: str, default: int) -> int:
+        """Bucket count is sticky per stage so a caller changing the default
+        cannot silently split the layout. Source of truth: the manifest,
+        falling back to the sidecar buckets.json — which survives manifest
+        loss (the _recover paths used to re-commit WITHOUT n_buckets, after
+        which a different-default upsert bucketed keys with the wrong modulus
+        and stale rows survived as duplicates)."""
+        recorded = self._recorded_n_buckets(stage)
+        return recorded if recorded is not None else default
 
     def _bucket_meta(self, stage: str) -> int | None:
         try:
@@ -324,7 +341,15 @@ class StageStore:
         buckets), matching upsert's write-side contract."""
         if not self._is_bucketed(stage):
             return self.read(stage)
-        n_b = self._n_buckets(stage, 64)
+        n_b = self._recorded_n_buckets(stage)
+        if n_b is None:
+            # Modulus unrecorded (legacy store with a non-default bucket
+            # count whose manifest AND sidecar were both lost): guessing a
+            # modulus here would prune away live rows for touched keys and a
+            # merge would then DROP prior weights instead of summing them
+            # (ADVICE r4). Unpruned read is correct, just slower — and the
+            # next upsert re-records the modulus durably.
+            return self.read(stage)
         hot = [
             r[0]
             for r in on.select(_bucket_expr(keys, n_b).alias("b")).distinct().collect()

@@ -18,6 +18,10 @@ every crash schedule via a fingerprinted intent record (see
 merge_edge_deltas), and a changed alias dictionary is auto-detected via a
 content fingerprint in the canon_map manifest, triggering an exact
 relink + edge rebuild (the reference re-derives groupings per ingest).
+Round 5 made the dictionary-refresh window itself crash-exact: the
+fingerprint is split into a pending stamp (map content) and a final stamp
+(downstream refreshed), so a crash mid-refresh can never replay into a
+silent merge onto stale edges (see _sync_canonical_state).
 
 Priority ordering (ingest < linking in the reference,
 service/DocProcAiService.py:199,293) is the literal statement order below.
@@ -54,20 +58,21 @@ def incremental_ingest(
     re-enqueue-PROCESSING sweep, without per-row state).
 
     With `alias_dict` the batch runs the FULL DAG: new mentions are linked
-    (append by mention_id), the canonical map is computed once and stamped
-    with the dictionary's content fingerprint — a CHANGED dictionary on a
-    later batch is detected automatically and triggers an exact relink +
-    edge rebuild (no manual invalidate needed; round 4) — edge weights are
+    (append by mention_id), the canonical map is computed once, and a CHANGED
+    dictionary on a later batch — even an EMPTY one — is detected via content
+    fingerprint and triggers an exact relink + edge rebuild; edge weights are
     merged additively and bucket-scoped (merge_edge_deltas, exact under
     every crash schedule), and the entity registry is refreshed (idempotent
-    overwrite of a dimension-sized table). Without it, the batch stops after
+    overwrite of a dimension-sized table). The dictionary fingerprint is a
+    REFRESH-COMPLETE stamp, not a map-content stamp: it is annotated onto
+    the canon_map manifest only after linked/edges/entities agree with that
+    map, so a crash anywhere inside the refresh window routes the next batch
+    back into the exact refresh instead of merging deltas onto stale edges
+    (see _sync_canonical_state). Without `alias_dict`, the batch stops after
     mentions (ingest-only callers; the edge ledger still bootstraps so a
     later full-DAG batch merges these pages).
     """
-    from ..session import fat_binary_scan
-
-    with fat_binary_scan(spark):
-        return _incremental_ingest(spark, new_pages, store, alias_dict, canon_threshold)
+    return _incremental_ingest(spark, new_pages, store, alias_dict, canon_threshold)
 
 
 def _incremental_ingest(
@@ -77,10 +82,22 @@ def _incremental_ingest(
     alias_dict: DataFrame | None,
     canon_threshold: float,
 ) -> dict:
+    from ..session import fat_binary_scan
+
     todo = store.todo_keys("extracted", new_pages) if store.is_done("extracted") else new_pages
     n_new = todo.count()
     if n_new == 0:
-        return {"new_pages": 0}
+        out = {"new_pages": 0}
+        if alias_dict is not None and store.is_done("mentions"):
+            # No new pages, but the caller may be handing us a CHANGED
+            # dictionary, or replaying after a crash mid-refresh. Verify the
+            # stamp (one cheap agg on a dimension table) and repair if — and
+            # only if — something is stale; a consistent store is untouched.
+            _sync_canonical_state(
+                store, alias_dict, canon_threshold, batch_mentions=None, out=out,
+                only_if_stale=True,
+            )
+        return out
     if store.is_done("edges") and not store.is_done("edges_pages"):
         # Store built by a batch run_pipeline: its edges cover exactly the
         # pages in the committed triples stage (the pipeline invalidates
@@ -106,54 +123,117 @@ def _incremental_ingest(
     # a crash anywhere re-runs the page, and each append_new anti-joins away
     # rows already present (page keys for triples, mention_id for mentions).
     triples = triples_stage(extracted).persist(StorageLevel.MEMORY_AND_DISK)
-    store.append_new("triples", triples, keys=KEYS)
+    with fat_binary_scan(spark):
+        # This first action over the chain executes the fat html scan (and
+        # fills the extracted + triples caches as a side effect) — the ONLY
+        # place the 256-row parquet batch earns its keep. Every later action
+        # in the batch reads narrow stage tables, which the 4096 default
+        # serves 15-30% faster (ADVICE r4: the previous whole-ingest scope
+        # taxed the merge/link readbacks).
+        store.append_new("triples", triples, keys=KEYS)
     mentions = mentions_stage(triples)
     store.append_new("mentions", mentions, keys=["mention_id"])
     out = {"new_pages": n_new, "new_triples": triples.count()}
     if alias_dict is not None:
-        _, alias_fp = _fingerprint(alias_dict, ["alias", "entity_id", "prior"])
-        if store.is_done("canon_map") and "alias_fp" not in store.manifest("canon_map"):
-            # legacy store (pre-fingerprint batch run): its canon_map derives
-            # from whatever dictionary that run was handed — stamp the current
-            # one rather than force a spurious full rebuild. From here on,
-            # changes ARE detected.
-            store.annotate("canon_map", {"alias_fp": alias_fp})
-        dict_changed = (
-            store.is_done("canon_map")
-            and store.manifest("canon_map").get("alias_fp") != alias_fp
+        _sync_canonical_state(
+            store, alias_dict, canon_threshold, batch_mentions=mentions, out=out
         )
-        if dict_changed:
-            # The alias dictionary changed since canon_map was derived:
-            # links, canonical groupings, and edge aggregation keys are ALL
-            # stale (the reference re-derives groupings on every ingest,
-            # service/DocProcAiService.py:186-189). Auto-invalidate and
-            # recompute exactly — callers no longer need to know to call
-            # invalidate("canon_map") by hand.
-            store.invalidate("canon_map")
-        if not store.is_done("canon_map"):
-            names = alias_dict.groupBy("entity_id").agg(
-                F.max_by("alias", F.length("alias")).alias("name")
-            )
-            store.write(
-                "canon_map",
-                canonicalize_entities(names, threshold=canon_threshold),
-                meta={"alias_fp": alias_fp},
-            )
-        canon_map = store.read("canon_map")
-        if dict_changed:
-            # exact downstream refresh: relink EVERY mention with the new
-            # dictionary and rebuild edges from the full triples stage
-            store.write("linked", link_mentions(store.read("mentions"), alias_dict))
-            rebuild_edges(store, alias_dict, canon_map)
-            out["rebuilt_for_dict_change"] = True
-        else:
-            store.append_new("linked", link_mentions(mentions, alias_dict), keys=["mention_id"])
-            out["merged_edge_pages"] = merge_edge_deltas(store, alias_dict, canon_map)
-        store.write("entities", entities_table(alias_dict, canon_map))
-    store.append_new("extracted", extracted, keys=KEYS)
+    with fat_binary_scan(spark):
+        # normally served from the persisted cache; on eviction this re-runs
+        # the html scan, so it gets the fat-scan batch size too
+        store.append_new("extracted", extracted, keys=KEYS)
     extracted.unpersist()
     triples.unpersist()
     return out
+
+
+def _sync_canonical_state(
+    store: StageStore,
+    alias_dict: DataFrame,
+    canon_threshold: float,
+    batch_mentions: DataFrame | None,
+    out: dict,
+    only_if_stale: bool = False,
+) -> None:
+    """Bring canon_map / linked / edges / entities into exact agreement with
+    `alias_dict` — crash-safe (ADVICE r4 high).
+
+    The canon_map manifest carries TWO stamps:
+
+      * ``alias_fp_pending`` — written atomically WITH the map: which
+        dictionary the map's CONTENT derives from;
+      * ``alias_fp`` — annotated only AFTER linked, edges and entities have
+        been refreshed against that map: the downstream-consistent marker.
+
+    A crash anywhere between the two leaves ``alias_fp != fp`` with
+    ``alias_fp_pending == fp``, and the next full-DAG batch routes into the
+    exact refresh (relink ALL committed mentions + rebuild_edges) instead of
+    merging deltas onto edges keyed by the OLD map — the silent-staleness
+    window the previous protocol had. Similarly, a `linked` stage without a
+    manifest (torn write) is rebuilt from the full mentions stage, never
+    append_new-ed with only the current batch (which would overwrite and
+    permanently drop prior links). Legacy stores whose canon_map carries
+    neither stamp (pre-fingerprint batch runs) are stamped as-consistent:
+    the batch DAG's invalidate-downstream protocol already guarantees their
+    stages agree with whatever dictionary that run was handed.
+    """
+    _, alias_fp = _fingerprint(alias_dict, ["alias", "entity_id", "prior"])
+    man = store.manifest("canon_map") if store.is_done("canon_map") else None
+    if man is not None and "alias_fp" not in man and "alias_fp_pending" not in man:
+        store.annotate("canon_map", {"alias_fp": alias_fp})
+        man = store.manifest("canon_map")
+    # The dictionary CONTENT changed vs what the map was built from → map and
+    # everything downstream are stale (the reference re-derives groupings on
+    # every ingest, service/DocProcAiService.py:186-189).
+    map_stale = (
+        man is not None
+        and man.get("alias_fp") != alias_fp
+        and man.get("alias_fp_pending") != alias_fp
+    )
+    # Map content is current, but the refresh-complete stamp is missing → a
+    # previous batch crashed inside the refresh window.
+    refresh_pending = (
+        man is not None
+        and man.get("alias_fp") != alias_fp
+        and man.get("alias_fp_pending") == alias_fp
+    )
+    if only_if_stale and man is not None and not (map_stale or refresh_pending):
+        return
+    if map_stale:
+        store.invalidate("canon_map")
+    map_fresh = not store.is_done("canon_map")
+    if map_fresh:
+        names = alias_dict.groupBy("entity_id").agg(
+            F.max_by("alias", F.length("alias")).alias("name")
+        )
+        store.write(
+            "canon_map",
+            canonicalize_entities(names, threshold=canon_threshold),
+            meta={"alias_fp_pending": alias_fp},
+        )
+    canon_map = store.read("canon_map")
+    # A fresh map with pre-existing linked/edges stages means those stages
+    # were keyed by some OLDER map (e.g. a crash between invalidate and
+    # rewrite) — only the exact refresh is safe.
+    needs_refresh = map_stale or refresh_pending or (
+        map_fresh and (store.is_done("linked") or store.is_done("edges"))
+    )
+    if needs_refresh or not store.is_done("linked"):
+        # exact relink of EVERY committed mention: also the first-write path
+        # (mentions from earlier ingest-only batches get linked too) and the
+        # torn-write repair path.
+        store.write("linked", link_mentions(store.read("mentions"), alias_dict))
+    elif batch_mentions is not None:
+        store.append_new("linked", link_mentions(batch_mentions, alias_dict), keys=["mention_id"])
+    if needs_refresh:
+        rebuild_edges(store, alias_dict, canon_map)
+        out["rebuilt_for_dict_change"] = True
+    else:
+        out["merged_edge_pages"] = merge_edge_deltas(store, alias_dict, canon_map)
+    store.write("entities", entities_table(alias_dict, canon_map))
+    # refresh-complete stamp: ONLY now may a replay treat downstream state as
+    # consistent with this dictionary
+    store.annotate("canon_map", {"alias_fp": alias_fp})
 
 
 _fingerprint = content_fingerprint

@@ -49,7 +49,6 @@ def main() -> None:
     from docprocai_service_spark import schemas
     from docprocai_service_spark.corpus import alias_dict_pdf, distributed_pages
     from docprocai_service_spark.plans.pipeline import run_pipeline
-    from docprocai_service_spark.session import fat_binary_scan
 
     if args.synthetic_pages:
         pages = distributed_pages(spark, args.synthetic_pages)
@@ -61,17 +60,17 @@ def main() -> None:
     else:
         alias = spark.read.parquet(args.alias)
 
-    # 256-row parquet batches while the fat html scan executes (the whole job
-    # here) — see session.fat_binary_scan for the G1-humongous rationale.
-    with fat_binary_scan(spark):
-        result = run_pipeline(
-            spark,
-            pages,
-            alias,
-            out_dir=args.output,
-            link_strategy=args.link_strategy,
-            resume=args.resume,
-        )
+    # run_pipeline scopes the 256-row fat-scan parquet batch to the two
+    # stage writes that actually scan html/extracted text; narrow stage
+    # readbacks keep the 4096 default (see session.fat_binary_scan).
+    result = run_pipeline(
+        spark,
+        pages,
+        alias,
+        out_dir=args.output,
+        link_strategy=args.link_strategy,
+        resume=args.resume,
+    )
     print(json.dumps(result.metrics))
     spark.stop()
 

@@ -256,3 +256,97 @@ def test_pagerank_fixed_deterministic_and_sane(spark):
     assert r1 == r2  # partitioning-independent, bit-exact
     assert max(r1, key=r1.get) == "hub"
     assert 0 < sum(r1.values()) <= PR_SCALE  # mass conserved up to floor leaks
+
+
+def test_khop_reach_counts_approx_close_to_exact(spark):
+    """Planted hub graph: the HLL counts path (bounded memory at any k /
+    hubbiness — VERDICT r4 #2) must track the exact operator within the
+    sketch's documented relative error (~1.6% at lgK=12; assert <= 5%)."""
+    from docprocai_service_spark.operators.graph import (
+        khop_reach_counts,
+        khop_reach_counts_approx,
+    )
+
+    rows = [("hub", f"l{i}") for i in range(3000)]
+    rows += [(f"l{i}", f"l{i+1}") for i in range(0, 200, 2)]
+    rows += [("spoke", "hub")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    exact = {r["id"]: r["n_reach"] for r in khop_reach_counts(edges, k=2).collect()}
+    approx = {
+        r["id"]: r["n_reach_approx"]
+        for r in khop_reach_counts_approx(edges, k=2).collect()
+    }
+    assert set(approx) == set(exact)
+    for node, want in exact.items():
+        assert abs(approx[node] - want) / want <= 0.05, (node, want, approx[node])
+
+
+def test_khop_approx_cycle_counts_self_as_documented(spark):
+    """The one semantic deviation: on a genuine cycle of length <= k the
+    sketch counts the node itself (sketches cannot subtract); the exact
+    operator never does. Both behaviors are pinned here."""
+    from docprocai_service_spark.operators.graph import (
+        khop_reach_counts,
+        khop_reach_counts_approx,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    exact = {r["id"]: r["n_reach"] for r in khop_reach_counts(edges, k=3).collect()}
+    approx = {
+        r["id"]: r["n_reach_approx"]
+        for r in khop_reach_counts_approx(edges, k=3).collect()
+    }
+    assert exact == {"a": 2, "b": 2, "c": 2}  # self always excluded
+    assert approx == {"a": 3, "b": 3, "c": 3}  # self included on the cycle
+
+
+def test_pagerank_empty_edge_set_returns_empty(spark):
+    """ADVICE r4: empty edge set -> empty (id, rank) result, not a
+    ZeroDivisionError."""
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+
+    out = pagerank_fixed(spark.createDataFrame([], "src string, dst string"))
+    assert out.columns == ["id", "rank"]
+    assert out.count() == 0
+
+
+def test_skew_probe_unbiased_under_key_clustering(spark):
+    """VERDICT r4 #3: an input range-partitioned/sorted by the join key
+    clusters the hub into partitions a prefix probe (limit) never read. The
+    stratified per-partition probe reads a bounded prefix of EVERY
+    partition, so it still detects the hub — and still stays plain when
+    sorted mild skew puts a single key-run at every partition head."""
+    from pyspark.sql import functions as F
+
+    from docprocai_service_spark.operators.joins import skew_aware_join
+
+    dim = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(50)] + [("zhub", 999)], "key string, val int"
+    )
+    # 50% hub key "zhub" sorts AFTER every cold key -> tail partitions only
+    hub = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit("zhub"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("key"),
+    ).repartitionByRange(8, "key").sortWithinPartitions("key")
+    mild = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("key"),
+    ).repartitionByRange(8, "key").sortWithinPartitions("key")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    j_hub = skew_aware_join(hub, dim, key="key", salt_on="rid", probe_rows=400)
+    assert "__salt" in plan_of(j_hub)  # hub seen despite tail clustering
+    j_mild = skew_aware_join(mild, dim, key="key", salt_on="rid", probe_rows=400)
+    assert "__salt" not in plan_of(j_mild)  # key-runs at partition heads: no false salt
+
+    def key_rows(df):
+        return sorted(map(tuple, df.select("rid", "key", "val").collect()))
+
+    assert key_rows(j_hub) == key_rows(hub.join(dim, "key", "left"))
+    assert key_rows(j_mild) == key_rows(mild.join(dim, "key", "left"))

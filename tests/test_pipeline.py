@@ -386,3 +386,84 @@ def test_edge_merge_double_crash_converges_via_rebuild(spark, spark_corpus, tmp_
     assert _edges_key(store.read("edges")) == _edges_key(full.edges)
     full.triples.unpersist()
     full.canon_map.unpersist()
+
+
+def test_dict_change_crash_mid_refresh_repairs_exactly(spark, spark_corpus, tmp_path):
+    """ADVICE r4 (high): a crash AFTER the new canon_map commits but BEFORE
+    the linked/edges refresh completes must NOT replay as a normal delta
+    merge — the refresh-complete stamp (alias_fp, annotated last) is still
+    missing, so the retry routes back into the exact relink + rebuild."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "refreshcrash"))
+    b1 = pages.limit(150).localCheckpoint()
+    b2 = pages.join(b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    incremental_ingest(spark, b1, store, alias_dict=alias)
+
+    alias2 = alias.filter(F.length("alias") > 6).localCheckpoint()
+    real_write = StageStore.write
+    crashed = {"n": 0}
+
+    def crashing_write(self, stage, df, partition_by=None, meta=None):
+        if stage == "linked" and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("simulated crash between canon_map commit and refresh")
+        return real_write(self, stage, df, partition_by=partition_by, meta=meta)
+
+    StageStore.write = crashing_write
+    try:
+        with pytest.raises(RuntimeError):
+            incremental_ingest(spark, b2, store, alias_dict=alias2)
+    finally:
+        StageStore.write = real_write
+
+    # canon_map committed with only the PENDING stamp — downstream is suspect
+    man = store.manifest("canon_map")
+    assert man.get("alias_fp") != man.get("alias_fp_pending")
+
+    m = incremental_ingest(spark, b2, store, alias_dict=alias2)
+    assert m.get("rebuilt_for_dict_change")  # repaired, not silently merged
+    full = run_pipeline(spark, pages, alias2, out_dir=None, collect_lineage=False)
+    assert _edges_key(store.read("edges")) == _edges_key(full.edges)
+    want_linked = sorted(map(tuple, full.linked.collect()))
+    got_linked = sorted(map(tuple, store.read("linked").select(*full.linked.columns).collect()))
+    assert got_linked == want_linked
+    full.triples.unpersist()
+    full.canon_map.unpersist()
+
+
+def test_torn_linked_write_rebuilds_all_prior_links(spark, spark_corpus, tmp_path):
+    """ADVICE r4 (high, second arm): if the linked stage's write was torn
+    (stage not done), the next batch must rebuild it from the FULL mentions
+    stage — append_new on a not-done stage would overwrite it with only the
+    current batch's links, permanently dropping all prior rows."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "tornlinked"))
+    b1 = pages.limit(150).localCheckpoint()
+    b2 = pages.join(b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    incremental_ingest(spark, b1, store, alias_dict=alias)
+    store.invalidate("linked")  # torn write: data present, no _SUCCESS/manifest
+    incremental_ingest(spark, b2, store, alias_dict=alias)
+    full = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    want_linked = sorted(map(tuple, full.linked.collect()))
+    got_linked = sorted(map(tuple, store.read("linked").select(*full.linked.columns).collect()))
+    assert got_linked == want_linked
+    full.triples.unpersist()
+    full.canon_map.unpersist()
+
+
+def test_dict_change_detected_on_empty_batch(spark, spark_corpus, tmp_path):
+    """A dictionary-only update (no new pages in the micro-batch) must still
+    be detected and refreshed — the fingerprint check runs even when the
+    batch itself is empty."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "emptydict"))
+    incremental_ingest(spark, pages, store, alias_dict=alias)
+    alias2 = alias.filter(F.length("alias") > 6).localCheckpoint()
+    m = incremental_ingest(spark, pages.limit(0), store, alias_dict=alias2)
+    assert m["new_pages"] == 0 and m.get("rebuilt_for_dict_change")
+    full = run_pipeline(spark, pages, alias2, out_dir=None, collect_lineage=False)
+    assert _edges_key(store.read("edges")) == _edges_key(full.edges)
+    # consistent store + unchanged dict + empty batch: exact no-op
+    assert incremental_ingest(spark, pages.limit(0), store, alias_dict=alias2) == {"new_pages": 0}
+    full.triples.unpersist()
+    full.canon_map.unpersist()

@@ -257,3 +257,42 @@ def test_fat_binary_scan_scopes_and_restores_conf(spark):
         assert spark.conf.get(key) == "256"
     after = spark.conf.get(key, None)
     assert after == before and after != "256"
+
+
+def test_unknown_modulus_falls_back_safely(spark, tmp_path):
+    """ADVICE r4: a bucketed stage whose modulus is unrecorded (manifest AND
+    sidecar lost) must not be pruned/merged with a guessed default modulus —
+    read_pruned falls back to the full read, and upsert routes through the
+    exact full-rebucket migration, so no prior row is ever dropped."""
+    import os
+
+    from docprocai_service_spark.sources.manifest import StageStore
+
+    store = StageStore(spark, str(tmp_path / "unkmod"))
+    rows = [(f"u{i}", 1, i) for i in range(40)]
+    v1 = spark.createDataFrame(rows, "url string, warc_ts int, w int")
+    store.upsert("seg", v1, keys=["url", "warc_ts"], n_buckets=24)  # non-default
+    # lose BOTH records of the modulus, then recover the data dir (adopt path)
+    os.remove(store._manifest_path("seg"))
+    os.remove(store._bucket_meta_path("seg"))
+    store._recover("seg")
+    assert store.is_done("seg")
+    assert store._recorded_n_buckets("seg") is None
+
+    # read_pruned: must return every row for the touched keys (a guessed
+    # modulus of 64 would prune live rows away)
+    on = spark.createDataFrame([(f"u{i}", 1) for i in range(40)], "url string, warc_ts int")
+    got = store.read_pruned("seg", on, ["url", "warc_ts"]).count()
+    assert got == 40
+
+    # upsert: replaces the 10 incoming keys, keeps the other 30 — under the
+    # wrong modulus, stale rows would survive as duplicates
+    v2 = spark.createDataFrame([(f"u{i}", 1, 100 + i) for i in range(10)],
+                               "url string, warc_ts int, w int")
+    store.upsert("seg", v2, keys=["url", "warc_ts"])
+    out = {r["url"]: r["w"] for r in store.read("seg").collect()}
+    assert len(out) == 40
+    assert all(out[f"u{i}"] == 100 + i for i in range(10))
+    assert all(out[f"u{i}"] == i for i in range(10, 40))
+    # modulus re-recorded durably by the migration
+    assert store._recorded_n_buckets("seg") is not None
