@@ -176,6 +176,12 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     spark = make_spark(CPUS)
     warmup(spark)
+    # Gate the headline sections on a quiet host exactly like --scaling does
+    # (VERDICT r4 #4: the r04 snapshot was taken at loadavg 4.8-8.0 and sat
+    # ~2x above the same round's quiet reference table; gating makes the
+    # driver's BENCH file BE the quiet reference). The recorded per-query
+    # loadavg still proves the conditions after the fact.
+    _wait_quiet()
     queries, query_loadavg = run_queries(spark, SF_DIR)
     # Executor sizing for the KG job: its hot stage pairs every task thread
     # with a Python worker PROCESS (fused Arrow parse), so local[N] with
@@ -190,7 +196,7 @@ def main() -> None:
         spark.stop()
         spark = make_spark(kg_cpus)
         warmup(spark)
-    kg_load = float(open("/proc/loadavg").read().split()[0])
+    kg_load = _wait_quiet()
     kg = run_kg(spark, _bench_pages(sf))
     kg["kg_task_slots"] = kg_cpus
     kg["loadavg_at_start"] = kg_load

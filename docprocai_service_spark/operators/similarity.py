@@ -199,22 +199,40 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    n_bands: int = 1,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup detection).
 
     exact=True: full self-join (O(n²) — oracle-checkable small-scale path).
-    exact=False: candidates restricted to same LSH bucket first (scale path;
-    recall depends on threshold vs bucket resolution).
+    exact=False: LSH-bucketed candidates + exact verify (scale path). Since
+    round 5 the bucketing is OR-AMPLIFIED like the MinHash text path: a pair
+    is a candidate if it agrees on ALL n_bits sign bits of ANY of the
+    n_bands independent hyperplane sets, so detection probability is
+    1 - (1 - p^r)^b with p = 1 - θ/π, r = n_bits, b = n_bands. A single
+    8-bit bucket (the old default) recalls <10% of moderate-similarity
+    pairs (cos ≈ 0.4-0.6); n_bits=4/n_bands=16 recalls ≈94% at cos 0.4 and
+    ≈99% at cos 0.6, at the cost of b band equi-joins + one dedup. Tune
+    n_bits UP (finer buckets, fewer candidates) and n_bands up with it when
+    the target regime is high-cosine near-dups. Every candidate is verified
+    with the exact cosine, so precision is always 1 — bucketing may miss
+    but never invents pairs.
     """
     left = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     right = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     if exact:
         pairs = left.crossJoin(right).filter(F.col("id1") < F.col("id2"))
     else:
-        b = bucketize(vectors, dim, n_bits, seed, vec_col)
-        lb = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
-        rb = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
-        pairs = lb.join(rb, "bucket").filter(F.col("id1") < F.col("id2")).drop("bucket")
+        cand = None
+        for band in range(n_bands):
+            b = bucketize(vectors, dim, n_bits, seed + band, vec_col)
+            lb = b.select(F.col(id_col).alias("id1"), "bucket")
+            rb = b.select(F.col(id_col).alias("id2"), "bucket")
+            p = lb.join(rb, "bucket").filter(F.col("id1") < F.col("id2")).drop("bucket")
+            cand = p if cand is None else cand.unionByName(p)
+        # dedupe multi-band hits on the slim id pair FIRST, then fetch the
+        # vectors once — carrying vectors through the union would shuffle
+        # n_bands copies of every embedding
+        pairs = cand.distinct().join(left, "id1").join(right, "id2")
     return (
         pairs.withColumn(
             "cos_sim",

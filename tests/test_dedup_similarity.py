@@ -134,3 +134,21 @@ def test_ivf_recall_vs_exact(spark, vectors):
     # determinism: same seed -> same centroids -> same result
     cent2 = ivf_train_centroids(vectors, dim=dim, n_lists=8, iters=5)
     assert np.allclose(cent, cent2)
+
+
+def test_cosine_pairs_banded_recall_at_moderate_threshold(spark, vectors):
+    """Round 5: OR-amplified banding (n_bands independent hyperplane sets,
+    union of band joins) lifts bucketed recall at moderate thresholds from
+    <10% (single 8-bit bucket) to the 1-(1-p^r)^b theory value (~0.94 at
+    cos 0.4 with r=4, b=16). Still a strict subset of exact — candidates
+    are always exact-verified."""
+    dim = len(vectors.first()["embedding"])
+    small = vectors.limit(200).localCheckpoint()
+    exact = {(r["id1"], r["id2"]) for r in cosine_pairs(small, 0.4, dim, exact=True).collect()}
+    banded = {
+        (r["id1"], r["id2"])
+        for r in cosine_pairs(small, 0.4, dim, n_bits=4, n_bands=16, exact=False).collect()
+    }
+    assert banded <= exact
+    if exact:
+        assert len(banded) / len(exact) >= 0.8, (len(banded), len(exact))
