@@ -18,6 +18,10 @@ libraries) behind STUB markers:
   * byte-level features (size, entropy, xxhash-like digest) are REAL — they
     need no codec and are exactly what web-scale pipelines use for cheap
     pre-filters before expensive GPU decode.
+  * wav_extract_audio (PCM RIFF/WAVE, round 4) and sample_frames'
+    codec="bmp" path (concatenated-BMP demux + 24-bit luma decode, round 5)
+    are REAL — both containers are codec-free by design, so only the
+    compressed cases (mp4 demux, JPEG decode, office convert) stay stubbed.
 
 At 100 TB: media bytes stay in `binary` columns and are only materialized
 inside the Arrow batch being processed (mapInPandas streams batches, bounded
@@ -124,34 +128,114 @@ def resize_images(media: DataFrame, out_h: int, out_w: int, codec: str = "stub")
     return media.mapInPandas(rz, schema="media_id string, pixels array<int>")
 
 
+def _split_bmp_stream(blob: bytes) -> list[bytes]:
+    """REAL demux of a concatenated-BMP stream — byte-identical logic to the
+    reference's walk over ffmpeg's image2pipe/bmp output (reference:
+    fileextractlib/VideoProcessor.py:72-81): check the 'BM' magic, read the
+    file size from the 4 little-endian bytes at offset 2, slice, advance."""
+    frames = []
+    pos = 0
+    while pos < len(blob):
+        if blob[pos : pos + 2] != b"BM":
+            raise ValueError("invalid-bmp-magic")
+        size = int.from_bytes(blob[pos + 2 : pos + 6], byteorder="little")
+        if size < 14 or pos + size > len(blob):
+            raise ValueError("truncated-bmp")
+        frames.append(blob[pos : pos + size])
+        pos += size
+    return frames
+
+
+def _bmp_meta_and_luma(frame: bytes) -> tuple[int, int, float | None]:
+    """(width, height, mean_luma) from one BMP file. Header fields are REAL
+    for any BMP; the pixel decode (ITU-R 601 luma) is real for the
+    uncompressed 24-bit BI_RGB case — exactly what ffmpeg's `-vcodec bmp`
+    emits — and None for anything else (no guessing)."""
+    import struct
+
+    if len(frame) < 54:
+        return 0, 0, None
+    (pix_off,) = struct.unpack("<I", frame[10:14])
+    w, h_raw = struct.unpack("<ii", frame[18:26])
+    bpp, comp = struct.unpack("<HI", frame[28:34])
+    h = abs(h_raw)  # negative height = top-down row order; mean is order-free
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return w, h, None
+    stride = ((w * 3 + 3) // 4) * 4  # rows padded to 4-byte boundaries
+    need = pix_off + stride * h
+    if need > len(frame):
+        return w, h, None
+    arr = np.frombuffer(frame[pix_off:need], dtype=np.uint8).reshape(h, stride)
+    bgr = arr[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+    # BMP stores B,G,R; ITU-R 601 luma weights
+    luma = bgr[..., 2] * 0.299 + bgr[..., 1] * 0.587 + bgr[..., 0] * 0.114
+    return w, h, float(luma.mean())
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, codec: str = "stub") -> DataFrame:
     """video rows → one row per sampled frame (media_id, frame_no, ts_ms,
-    frame_crc): the ffmpeg `select`-filter frame grab
-    (reference: fileextractlib/VideoProcessor.py:46-81) as a flatMap-shaped
-    mapInPandas. Frame bytes are deterministic slices of the content blob
-    (STUB for a real demuxer); the per-frame crc is real."""
+    frame_crc, width, height, mean_luma, error): the ffmpeg `select`-filter
+    frame grab (reference: fileextractlib/VideoProcessor.py:46-81) as a
+    flatMap-shaped mapInPandas.
+
+    codec="bmp" (REAL, round 5): `content` is a concatenated-BMP stream —
+    the exact byte format the reference receives from ffmpeg's
+    image2pipe/bmp output and demuxes by magic + declared size — split into
+    frames (same walk, VideoProcessor.py:72-81), with real per-frame header
+    metadata and a real ITU-R 601 mean-luma decode for the uncompressed
+    24-bit frames ffmpeg emits. Malformed streams yield a typed `error` row
+    (the reference raises ValueError mid-job), never silent bytes.
+
+    codec="stub": frame bytes are deterministic slices of the blob paced by
+    duration_ms (plumbing-only stand-in; width/height/mean_luma NULL).
+    Compressed video demuxing (mp4/mkv) genuinely needs ffmpeg: codec="real"
+    raises."""
     if codec == "real":
-        raise NotImplementedError("no video demuxer in this container — STUB only")
+        raise NotImplementedError("no compressed-video demuxer in this container — STUB only")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_no": [], "ts_ms": [], "frame_crc": []}
+            out = {"media_id": [], "frame_no": [], "ts_ms": [], "frame_crc": [],
+                   "width": [], "height": [], "mean_luma": [], "error": []}
+
+            def emit(media_id, k, crc, w=None, h=None, luma=None, err=None):
+                out["media_id"].append(media_id)
+                out["frame_no"].append(k)
+                out["ts_ms"].append(None if k is None or k < 0 else k * every_ms)
+                out["frame_crc"].append(crc)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(luma)
+                out["error"].append(err)
+
             for media_id, duration_ms, blob in zip(
                 pdf["media_id"], pdf["duration_ms"], pdf["content"]
             ):
-                dur = int(duration_ms or 0)
-                n = max(dur // every_ms, 1)
-                for k in range(n):
-                    lo = (k * len(blob)) // n
-                    hi = ((k + 1) * len(blob)) // n
-                    out["media_id"].append(media_id)
-                    out["frame_no"].append(k)
-                    out["ts_ms"].append(k * every_ms)
-                    out["frame_crc"].append(zlib.crc32(blob[lo:hi]))
+                blob = bytes(blob)
+                if codec == "bmp":
+                    try:
+                        parts = _split_bmp_stream(blob)
+                    except ValueError as e:
+                        emit(media_id, -1, None, err=str(e))
+                        continue
+                    for k, fr in enumerate(parts):
+                        w, h, luma = _bmp_meta_and_luma(fr)
+                        emit(media_id, k, zlib.crc32(fr), w, h, luma)
+                else:
+                    dur = int(duration_ms or 0)
+                    n = max(dur // every_ms, 1)
+                    for k in range(n):
+                        lo = (k * len(blob)) // n
+                        hi = ((k + 1) * len(blob)) // n
+                        emit(media_id, k, zlib.crc32(blob[lo:hi]))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
-        frames, schema="media_id string, frame_no int, ts_ms long, frame_crc long"
+        frames,
+        schema=(
+            "media_id string, frame_no int, ts_ms long, frame_crc long, "
+            "width int, height int, mean_luma double, error string"
+        ),
     )
 
 

@@ -171,3 +171,51 @@ def test_wav_extract_real_riff_parse_and_resample(spark):
     assert rows["mp3ish"]["error"] == "unsupported-codec:85"
     assert rows["mp3ish"]["pcm16"] is None
     assert rows["junk"]["error"] == "not-riff-wave"
+
+
+def _make_bmp(w, h, rgb):
+    """Hand-built uncompressed 24-bit BMP (the format ffmpeg's image2pipe
+    -vcodec bmp emits): 14-byte file header + 40-byte BITMAPINFOHEADER +
+    bottom-up 4-byte-padded BGR rows, every pixel = `rgb`."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    pix = (bytes([rgb[2], rgb[1], rgb[0]]) * w + b"\x00" * (stride - w * 3)) * h
+    size = 14 + 40 + len(pix)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def test_sample_frames_bmp_demux_is_real(spark):
+    """VERDICT r4 #8: codec='bmp' demuxes a concatenated BMP stream exactly
+    like the reference's ffmpeg-pipe walk (magic + declared size) and
+    decodes real header metadata + ITU-R 601 mean luma per frame."""
+    import zlib as _z
+
+    from docprocai_service_spark.operators.multimodal import sample_frames
+
+    f0 = _make_bmp(6, 4, (255, 0, 0))    # pure red -> luma 0.299*255
+    f1 = _make_bmp(10, 3, (0, 255, 0))   # pure green -> luma 0.587*255
+    f2 = _make_bmp(5, 5, (10, 20, 30))
+    stream = f0 + f1 + f2
+    rows = [("v0", "video/x-bmp-stream", None, None, 3000, stream),
+            ("bad", "video/x-bmp-stream", None, None, 1000, b"JUNKNOTBMP")]
+    media = spark.createDataFrame(
+        rows, "media_id string, mime string, width int, height int, duration_ms long, content binary"
+    )
+    out = {(r["media_id"], r["frame_no"]): r
+           for r in sample_frames(media, every_ms=500, codec="bmp").collect()}
+    assert len([k for k in out if k[0] == "v0"]) == 3
+    r0, r1, r2 = out[("v0", 0)], out[("v0", 1)], out[("v0", 2)]
+    assert (r0["width"], r0["height"]) == (6, 4)
+    assert (r1["width"], r1["height"]) == (10, 3)
+    assert abs(r0["mean_luma"] - 0.299 * 255) < 1e-9
+    assert abs(r1["mean_luma"] - 0.587 * 255) < 1e-9
+    assert abs(r2["mean_luma"] - (0.299 * 10 + 0.587 * 20 + 0.114 * 30)) < 1e-9
+    assert r1["ts_ms"] == 500 and r2["ts_ms"] == 1000
+    assert r0["frame_crc"] == _z.crc32(f0) and r2["frame_crc"] == _z.crc32(f2)
+    assert all(out[("v0", k)]["error"] is None for k in range(3))
+    # malformed stream: typed error row, never silent bytes
+    bad = out[("bad", -1)]
+    assert bad["error"] == "invalid-bmp-magic" and bad["frame_crc"] is None
