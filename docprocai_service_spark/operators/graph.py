@@ -25,31 +25,64 @@ from pyspark.sql import functions as F
 from .canonicalize import _truncate_lineage
 
 
+def _fresh(df: DataFrame) -> DataFrame:
+    """Re-alias every column, minting new expression ids. localCheckpoint /
+    checkpoint preserve the plan's attribute ids, so two checkpoints derived
+    from one another can share exprIds; a later self-union/join of such
+    plans fails Catalyst's constraint rewrite (NoSuchElementException:
+    key not found: src#N). One no-op Project fixes the identity."""
+    return df.select([F.col(c).alias(c) for c in df.columns])
+
+
 def khop_reach(edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False) -> DataFrame:
     """Directed reach pairs: (src, dst) such that dst is reachable from src
     in 1..k hops. Self-pairs are ALWAYS excluded — the extension join filters
     src != dst too, so a cycle back to the start node does not produce
     (v, v) (and khop_reach_counts therefore never counts self).
 
-    reach_1 = E;  reach_i = reach_{i-1} ∪ (reach_{i-1} ⋈ E), deduped per
-    round — one shuffle join + one distinct per hop, lineage truncated so
-    round i does not replay rounds 1..i-1.
+    Delta-BFS (round 5): the per-round join extends only the FRONTIER — the
+    pairs first discovered in the previous round — not the whole accumulated
+    reach set, and pairs already reached are anti-joined away before the
+    union, so round i joins |frontier| rows instead of |reach| (the old
+    shape re-derived every length-<i path each round). Terminates early
+    when a round discovers nothing new (diameter < k). Per round: one
+    shuffle join + one distinct + one anti-join, lineage truncated so round
+    i does not replay rounds 1..i-1.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    pairs = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     # reliable_checkpoint=True writes round outputs to the configured
     # checkpoint dir (HDFS/S3 on a cluster) so an executor loss mid-iteration
     # cannot kill the job — same contract as connected_components.
-    reach = _truncate_lineage(pairs, reliable_checkpoint)
+    # The deduped edge set is checkpointed ONCE and reused every round (the
+    # pre-round-5 shape re-ran the scan+distinct shuffle inside each round's
+    # job); _fresh re-aliases each checkpointed plan because localCheckpoint
+    # preserves attribute ids, and joining/unioning two checkpoints that
+    # share exprIds trips Catalyst's union constraint rewrite.
+    pairs = _fresh(
+        _truncate_lineage(
+            edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
+            reliable_checkpoint,
+        )
+    )
+    reach = pairs
+    frontier = pairs
     for _ in range(1, k):
         ext = (
-            reach.alias("r")
+            frontier.alias("r")
             .join(pairs.alias("e"), F.col("r.dst") == F.col("e.src"))
             .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        reach = _truncate_lineage(reach.union(ext).distinct(), reliable_checkpoint)
+        frontier = _fresh(
+            _truncate_lineage(
+                ext.join(reach, ["src", "dst"], "left_anti"), reliable_checkpoint
+            )
+        )
+        if frontier.isEmpty():
+            break
+        reach = _fresh(_truncate_lineage(reach.union(frontier), reliable_checkpoint))
     return reach
 
 
