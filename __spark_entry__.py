@@ -781,7 +781,10 @@ def pagerank_tpch(spark, sf_dir):
     operators/graph.pagerank_fixed) over the TPC-H entity graph."""
     from docprocai_service_spark.operators.graph import pagerank_fixed
 
-    return pagerank_fixed(_tpch_entity_edges(spark, sf_dir), iters=6)
+    # cadence 3: fewer lineage-truncation barrier jobs (measured ~11% at
+    # sf0.1, BENCH/BASELINE.md r4 plan audit); the integer result — and
+    # hence the oracle hash — is cadence-independent.
+    return pagerank_fixed(_tpch_entity_edges(spark, sf_dir), iters=6, checkpoint_every=3)
 
 
 def _pagerank_oracle_sql(iters: int = 6, damping_pct: int = 85) -> str:

@@ -121,6 +121,11 @@ def pagerank_fixed(
     barrier jobs (measured ~11% faster at sf0.1 with 3). The RESULT is
     cadence-independent — the integer arithmetic is exact either way.
     """
+    # The deduped pair set is checkpointed FIRST: every later setup job
+    # (outdeg, nodes) and all k iteration jobs read the materialized blocks
+    # instead of re-running the caller's edge-derivation plan (measured 2×
+    # end-to-end when the distinct was left lazy and the upstream re-ran
+    # inside the deg_pairs job — exchange reuse does not cross jobs).
     pairs = _truncate_lineage(edges.select("src", "dst").distinct(), reliable_checkpoint)
     nodes = _truncate_lineage(
         pairs.select(F.col("src").alias("id"))
