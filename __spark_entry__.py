@@ -626,15 +626,8 @@ def title_segments_docs(spark, sf_dir):
 
 
 # =====================================================================
-# KG pipeline over the synthetic corpus (non-SQL: rows-only checks)
+# KG pipeline over the SQL-constructed corpus (DuckDB-oracled end-to-end)
 # =====================================================================
-
-def _corpus_frames(spark):
-    from docprocai_service_spark.corpus import corpus_to_spark, make_corpus
-
-    c = make_corpus(n_pages=200, n_entities=300, seed=42)
-    return corpus_to_spark(spark, c)
-
 
 def _kg_pages_from_documents(spark, sf_dir):
     """Deterministic web-page table CONSTRUCTED from the `documents` view with
