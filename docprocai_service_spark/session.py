@@ -25,23 +25,40 @@ _LOCAL_CLUSTER = re.compile(r"local-cluster\[(\d+),(\d+),(\d+)\]")
 def _package_zip() -> str:
     """Zip this package for distribution to executors — the programmatic
     equivalent of `spark-submit --py-files pkg.zip` (north_rule's submit
-    mode). Rebuilt at most once per process; executors' Python workers
-    import the package from the shipped zip, not from a shared filesystem."""
+    mode); executors' Python workers import the package from the shipped
+    zip, not from a shared filesystem. The zip name is a CONTENT hash of
+    the .py sources, not a PID (PIDs recycle across sessions, and a stale
+    same-named zip from an older tree would silently ship old code to the
+    executors); identical content reuses the cached zip across processes."""
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), f"docprocai_service_spark_pyfiles_{os.getpid()}.zip")
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join("docprocai_service_spark", os.path.relpath(full, pkg_dir))
+                members.append((rel, full))
+    digest = hashlib.sha256()
+    for rel, full in sorted(members):
+        digest.update(rel.encode())
+        with open(full, "rb") as f:
+            digest.update(f.read())
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"docprocai_service_spark_pyfiles_{digest.hexdigest()[:16]}.zip",
+    )
     if not os.path.exists(out):
-        with zipfile.ZipFile(out, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "docprocai_service_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
+        # atomic publish: concurrent sessions building the same content race
+        # on the final name, never on a half-written zip
+        tmp = f"{out}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for rel, full in sorted(members):
+                z.write(full, rel)
+        os.replace(tmp, out)
     return out
 
 
