@@ -134,3 +134,47 @@ def test_extract_python_equals_duckdb_re2_mirror(html):
         f"SELECT {duckdb_extract_sql('html')} FROM (SELECT ? AS html)", [html]
     ).fetchone()[0]
     assert got == want, (html, got, want)
+
+
+# ---------------------------------------------------------------- BMP demux
+
+_PIXEL = st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+_FRAME_SPEC = st.tuples(st.integers(1, 17), st.integers(1, 9), _PIXEL)
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_FRAME_SPEC, min_size=1, max_size=6))
+def test_bmp_stream_demux_roundtrip(specs):
+    """Fuzz the concatenated-BMP walk (the reference's ffmpeg-pipe demux,
+    VideoProcessor.py:72-81): any stream of valid frames splits back into
+    exactly its frames byte-for-byte, and header metadata + the 24-bit luma
+    decode match the generating parameters, padding excluded."""
+    from docprocai_service_spark.operators.multimodal import (
+        _bmp_meta_and_luma,
+        _split_bmp_stream,
+    )
+    from tests.test_multimodal import _make_bmp
+
+    frames = [_make_bmp(w, h, rgb) for (w, h, rgb) in specs]
+    parts = _split_bmp_stream(b"".join(frames))
+    assert parts == frames
+    for (w, h, (r, g, b)), fr in zip(specs, parts):
+        got_w, got_h, luma = _bmp_meta_and_luma(fr)
+        assert (got_w, got_h) == (w, h)
+        assert abs(luma - (0.299 * r + 0.587 * g + 0.114 * b)) < 1e-9
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=200))
+def test_bmp_stream_junk_never_silently_accepted(junk):
+    """Arbitrary bytes either raise the typed ValueError or (for genuinely
+    valid prefixes) split into frames that re-concatenate to the input —
+    never a silent wrong split."""
+    from docprocai_service_spark.operators.multimodal import _split_bmp_stream
+
+    try:
+        parts = _split_bmp_stream(junk)
+    except ValueError as e:
+        assert str(e) in ("invalid-bmp-magic", "truncated-bmp")
+    else:
+        assert b"".join(parts) == junk

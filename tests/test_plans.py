@@ -130,3 +130,20 @@ def test_kg_docs_chain_single_python_boundary(spark):
     assert p.count("MapInPandas") == 1  # fused extract+split+parse, once
     assert "BatchEvalPython" not in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_khop_approx_is_pure_jvm(spark):
+    """The HLL counts path must stay entirely JVM-side — no Python boundary
+    anywhere in its plan (the sketch agg/union/estimate are Catalyst
+    expressions), so its per-round cost is one join + one hash agg in
+    codegen just like a PageRank iteration."""
+    from docprocai_service_spark.operators.graph import khop_reach_counts_approx
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    out = khop_reach_counts_approx(edges, k=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # sanity: it actually computes
+    assert out.count() == 3
