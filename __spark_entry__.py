@@ -383,8 +383,16 @@ def cosine_near_dup_bucketed(spark, sf_dir):
     # OR-amplified banding (round 5): 16 bands × 4 bits ⇒ theoretical recall
     # ≈0.94 at cos 0.4 (the old single 6-bit bucket recalled <10% at this
     # moderate-similarity threshold — see cosine_pairs docstring)
-    pairs = cosine_pairs(emb, threshold=0.4, dim=len(q), n_bits=4, n_bands=16, exact=False)
-    exact = cosine_pairs(emb, threshold=0.4, dim=len(q), exact=True).select("id1", "id2")
+    # localCheckpoint: the banded and O(n²) exact plans each feed 2-3
+    # consumers below — materialize once instead of re-executing per count
+    pairs = cosine_pairs(
+        emb, threshold=0.4, dim=len(q), n_bits=4, n_bands=16, exact=False
+    ).localCheckpoint()
+    exact = (
+        cosine_pairs(emb, threshold=0.4, dim=len(q), exact=True)
+        .select("id1", "id2")
+        .localCheckpoint()
+    )
     n_exact = exact.count()
     n_hit = pairs.join(exact, ["id1", "id2"], "left_semi").count()
     recall = round(n_hit / n_exact, 4) if n_exact else 1.0
@@ -496,13 +504,15 @@ def simhash_near_dup_docs(spark, sf_dir):
     from docprocai_service_spark.operators.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = simhash_near_dup_pairs(d, max_hamming=6)
+    # materialized once: both feed the missed-count AND the final join
+    pairs = simhash_near_dup_pairs(d, max_hamming=6).localCheckpoint()
     by_text = d.select("doc_id", F.md5("text").alias("h"))
     dup_pairs = (
         by_text.alias("l")
         .join(by_text.alias("r"), "h")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .localCheckpoint()
     )
     missed = dup_pairs.join(pairs, ["id1", "id2"], "left_anti").count()
     return (
@@ -568,7 +578,10 @@ def winnow_fingerprint_docs(spark, sf_dir):
         "doc_id",
         F.md5("text").alias("h"),
         winnow(F.col("text")).alias("fps"),
-    ).withColumn("set_key", F.sha2(F.concat_ws(",", F.transform(F.array_sort("fps"), lambda x: x.cast("string"))), 256))
+    ).withColumn(
+        "set_key",
+        F.sha2(F.concat_ws(",", F.transform(F.array_sort("fps"), lambda x: x.cast("string"))), 256),
+    ).localCheckpoint()  # winnow UDF runs once, not once per consumer
     inconsistent = (
         fps.groupBy("h")
         .agg(F.count_distinct("set_key").alias("n_sets"), F.count(F.lit(1)).alias("n"))
@@ -889,7 +902,7 @@ def khop_reach_approx_tpch(spark, sf_dir):
     j = approx.join(exact, "id").withColumn(
         "within_5pct",
         (F.abs(F.col("n_reach_approx") - F.col("n_reach")) / F.col("n_reach")) <= 0.05,
-    )
+    ).localCheckpoint()  # exact BFS + sketch chain run once, not per consumer
     stats = j.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col("within_5pct").cast("long")).alias("ok")
     ).first()

@@ -121,6 +121,8 @@ def pagerank_fixed(
     barrier jobs (measured ~11% faster at sf0.1 with 3). The RESULT is
     cadence-independent — the integer arithmetic is exact either way.
     """
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     # The deduped pair set is checkpointed FIRST: every later setup job
     # (outdeg, nodes) and all k iteration jobs read the materialized blocks
     # instead of re-running the caller's edge-derivation plan (measured 2×

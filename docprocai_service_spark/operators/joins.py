@@ -73,11 +73,21 @@ def skew_aware_join(
     would underweight exactly the partition that proves the skew. Collected
     driver-side state is <= probe_rows + num_partitions tiny rows.
 
-    Known residual bias (documented, threshold-safe): when rows are ALSO
-    sorted within partitions, a partition's prefix is a single key run and
-    that key's estimate inflates toward the whole partition's size — it can
-    cross `hot_fraction` only if one partition really holds >hot_fraction of
-    the table under one key, which IS the hub regime salting targets.
+    Within-partition sorting makes a prefix a single key run, and scaling
+    that run to the partition's size inflates the key's estimate toward the
+    whole partition — so a raw scaled share would false-salt ANY key-sorted
+    input whose largest partition exceeds hot_fraction of the table (review
+    r5; reproduced with 10 uniform keys in 2 sorted partitions). The salt
+    decision therefore requires CORROBORATION beyond the share estimate:
+    the top key must be seen in >= 2 partition prefixes (a >hot_fraction
+    key under balanced partitioning spans several), or sit in a partition
+    > 2x the median size (range partitioning isolates a dominant key into
+    an oversized partition — the hub-at-the-tail signature), or the input
+    must have a single partition (no stratification possible; the prefix is
+    the only evidence, as with the old probe). Residual under-detection,
+    documented: a hub that exactly fills one BALANCED partition of very few
+    is indistinguishable from a sorted key run by any prefix probe; AQE
+    skew-join remains the backstop there.
     """
     # per-partition row offset from monotonically_increasing_id's documented
     # layout: partition id in the upper 31 bits, record-in-partition in the
@@ -104,12 +114,23 @@ def skew_aware_join(
             prefix_counts.setdefault(r["__p"], {})[r["__k"]] = r["c"]
     total = sum(part_total.values())
     est: dict = {}
+    seen_in: dict = {}
     for p, key_counts in prefix_counts.items():
         scale = part_total[p] / prefix_total[p]
         for k_, c in key_counts.items():
             est[k_] = est.get(k_, 0) + c * scale
-    if total > 0 and est and max(est.values()) / total > hot_fraction:
-        return salted_join(big, small, key=key, salt_on=salt_on, n_salts=n_salts, how=how)
+            seen_in.setdefault(k_, []).append(p)
+    if total > 0 and est:
+        top_key = max(est, key=est.get)
+        sizes = sorted(part_total.values())
+        median_size = sizes[len(sizes) // 2]
+        corroborated = (
+            len(seen_in[top_key]) >= 2
+            or len(part_total) == 1
+            or max(part_total[p] for p in seen_in[top_key]) > 2 * median_size
+        )
+        if est[top_key] / total > hot_fraction and corroborated:
+            return salted_join(big, small, key=key, salt_on=salt_on, n_salts=n_salts, how=how)
     return big.join(small, key, how)
 
 

@@ -148,14 +148,24 @@ def _split_bmp_stream(blob: bytes) -> list[bytes]:
 
 def _bmp_meta_and_luma(frame: bytes) -> tuple[int, int, float | None]:
     """(width, height, mean_luma) from one BMP file. Header fields are REAL
-    for any BMP; the pixel decode (ITU-R 601 luma) is real for the
-    uncompressed 24-bit BI_RGB case — exactly what ffmpeg's `-vcodec bmp`
-    emits — and None for anything else (no guessing)."""
+    for the BITMAPINFOHEADER family (biSize >= 40 — every later header
+    extends its first fields, and it is what ffmpeg's `-vcodec bmp` emits)
+    and for the legacy 12-byte BITMAPCOREHEADER (16-bit fields); the pixel
+    decode (ITU-R 601 luma) is real for the uncompressed 24-bit BI_RGB
+    case and None for anything else (no guessing)."""
     import struct
 
-    if len(frame) < 54:
+    if len(frame) < 26:
         return 0, 0, None
     (pix_off,) = struct.unpack("<I", frame[10:14])
+    (bi_size,) = struct.unpack("<I", frame[14:18])
+    if bi_size == 12:
+        # BITMAPCOREHEADER: unsigned 16-bit width/height, no compression
+        # field — metadata real, luma out of contract
+        w, h = struct.unpack("<HH", frame[18:22])
+        return w, h, None
+    if bi_size < 40 or len(frame) < 54:
+        return 0, 0, None  # unknown DIB header: never misparse
     w, h_raw = struct.unpack("<ii", frame[18:26])
     bpp, comp = struct.unpack("<HI", frame[28:34])
     h = abs(h_raw)  # negative height = top-down row order; mean is order-free

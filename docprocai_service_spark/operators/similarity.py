@@ -217,6 +217,8 @@ def cosine_pairs(
     with the exact cosine, so precision is always 1 — bucketing may miss
     but never invents pairs.
     """
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1")
     left = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     right = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     if exact:

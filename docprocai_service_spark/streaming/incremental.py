@@ -197,7 +197,20 @@ def _sync_canonical_state(
         and man.get("alias_fp") != alias_fp
         and man.get("alias_fp_pending") == alias_fp
     )
-    if only_if_stale and man is not None and not (map_stale or refresh_pending):
+    if only_if_stale and man is not None and not (map_stale or refresh_pending) and store.is_done("linked"):
+        # Consistent stamps do NOT imply an empty work backlog: earlier
+        # INGEST-ONLY batches may have appended triples/mentions whose edge
+        # weights and links were never derived, and an empty or
+        # fully-redelivered full-DAG batch must still pick them up (review
+        # r5 — the unconditional early return here left such pages unmerged
+        # until a genuinely new page arrived). Both catch-ups are
+        # cheap-gated: linking by manifest row counts, the merge by the
+        # ledger anti-join inside merge_edge_deltas (a no-op job when
+        # caught up).
+        _link_backlog(store, alias_dict)
+        merged = merge_edge_deltas(store, alias_dict, store.read("canon_map"))
+        if merged:
+            out["merged_edge_pages"] = merged
         return
     if map_stale:
         store.invalidate("canon_map")
@@ -223,8 +236,15 @@ def _sync_canonical_state(
         # (mentions from earlier ingest-only batches get linked too) and the
         # torn-write repair path.
         store.write("linked", link_mentions(store.read("mentions"), alias_dict))
-    elif batch_mentions is not None:
-        store.append_new("linked", link_mentions(batch_mentions, alias_dict), keys=["mention_id"])
+    else:
+        if batch_mentions is not None:
+            store.append_new(
+                "linked", link_mentions(batch_mentions, alias_dict), keys=["mention_id"]
+            )
+        # any remaining mentions/linked row-count gap is linking debt from
+        # ingest-only batches — settle it now (O(table) anti-join, but only
+        # when the cheap manifest-count gate says debt exists)
+        _link_backlog(store, alias_dict)
     if needs_refresh:
         rebuild_edges(store, alias_dict, canon_map)
         out["rebuilt_for_dict_change"] = True
@@ -234,6 +254,21 @@ def _sync_canonical_state(
     # refresh-complete stamp: ONLY now may a replay treat downstream state as
     # consistent with this dictionary
     store.annotate("canon_map", {"alias_fp": alias_fp})
+
+
+def _link_backlog(store: StageStore, alias_dict: DataFrame) -> None:
+    """Link mentions that were committed (e.g. by ingest-only batches) but
+    never linked. Gated on the manifests' row counts so the common
+    no-debt case costs zero jobs; with debt, the not-yet-linked mentions
+    are anti-joined out and appended (idempotent by mention_id)."""
+    if not (store.is_done("mentions") and store.is_done("linked")):
+        return
+    if store.manifest("mentions")["rows"] <= store.manifest("linked")["rows"]:
+        return
+    todo = store.read("mentions").join(
+        store.read("linked").select("mention_id"), "mention_id", "left_anti"
+    )
+    store.append_new("linked", link_mentions(todo, alias_dict), keys=["mention_id"])
 
 
 _fingerprint = content_fingerprint

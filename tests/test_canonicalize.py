@@ -350,3 +350,37 @@ def test_skew_probe_unbiased_under_key_clustering(spark):
 
     assert key_rows(j_hub) == key_rows(hub.join(dim, "key", "left"))
     assert key_rows(j_mild) == key_rows(mild.join(dim, "key", "left"))
+
+
+def test_skew_probe_no_false_salt_on_sorted_uniform_few_partitions(spark):
+    """Review r5 repro: 10 uniform keys range-sorted into TWO partitions —
+    each partition's prefix is one key run that scales to ~50% of the
+    table. Without corroboration the probe salted a mild-skew input (the
+    regime where the ablation measured salting as a 0.69x LOSS)."""
+    from pyspark.sql import functions as F
+
+    from docprocai_service_spark.operators.joins import skew_aware_join
+
+    dim = spark.createDataFrame([(f"k{i}", i) for i in range(10)], "key string, val int")
+    uniform = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("k"), (F.col("id") % 10).cast("string")).alias("key"),
+    ).repartitionByRange(2, "key").sortWithinPartitions("key")
+    j = skew_aware_join(uniform, dim, key="key", salt_on="rid", probe_rows=400)
+    assert "__salt" not in j._jdf.queryExecution().analyzed().toString()
+    got = sorted(map(tuple, j.select("rid", "key", "val").collect()))
+    want = sorted(map(tuple, uniform.join(dim, "key", "left").select("rid", "key", "val").collect()))
+    assert got == want
+
+
+def test_graph_param_guards(spark):
+    import pytest as _pt
+
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+    from docprocai_service_spark.operators.similarity import cosine_pairs
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError, match="checkpoint_every"):
+        pagerank_fixed(edges, iters=2, checkpoint_every=0)
+    with _pt.raises(ValueError, match="n_bands"):
+        cosine_pairs(edges.selectExpr("src as vec_id"), 0.5, dim=4, n_bands=0)

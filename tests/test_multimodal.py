@@ -219,3 +219,20 @@ def test_sample_frames_bmp_demux_is_real(spark):
     # malformed stream: typed error row, never silent bytes
     bad = out[("bad", -1)]
     assert bad["error"] == "invalid-bmp-magic" and bad["frame_crc"] is None
+
+
+def test_bmp_header_variants_never_misparsed(spark):
+    """Review r5: a 12-byte BITMAPCOREHEADER stores 16-bit width/height at
+    different offsets — parse it properly; unknown DIB header sizes yield
+    (0, 0, None) rather than garbage."""
+    import struct
+
+    from docprocai_service_spark.operators.multimodal import _bmp_meta_and_luma
+
+    # BITMAPCOREHEADER frame: 14-byte file header + 12-byte core header
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack("<IHHHH", 12, 640, 480, 1, 24)
+    w, h, luma = _bmp_meta_and_luma(core)
+    assert (w, h, luma) == (640, 480, None)
+    # unknown 20-byte header: refuse to guess
+    weird = b"BM" + struct.pack("<IHHI", 34, 0, 0, 34) + struct.pack("<I", 20) + b"\x00" * 16
+    assert _bmp_meta_and_luma(weird) == (0, 0, None)

@@ -548,3 +548,47 @@ def test_every_crash_point_converges(spark, spark_corpus, tmp_path, dict_change)
         got_linked = sorted(map(tuple, store.read("linked").select(*linked_cols).collect()))
         assert got_linked == want_linked, f"linked diverged, crash point {n}"
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_empty_batch_settles_ingest_only_backlog(spark, spark_corpus, tmp_path):
+    """Review r5: an ingest-only batch leaves edge-merge AND linking debt;
+    a later full-DAG batch that happens to be empty (or fully redelivered)
+    must still settle both — the consistent dict stamp alone is not 'no
+    work to do'."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "backlog"))
+    b1 = pages.limit(150).localCheckpoint()
+    b2 = pages.join(b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    incremental_ingest(spark, b1, store, alias_dict=alias)  # full DAG, stamped
+    incremental_ingest(spark, b2, store)  # ingest-only: debt
+    m = incremental_ingest(spark, pages.limit(0), store, alias_dict=alias)  # empty full-DAG
+    assert m["new_pages"] == 0 and m.get("merged_edge_pages", 0) > 0
+    full = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    assert _edges_key(store.read("edges")) == _edges_key(full.edges)
+    want_linked = sorted(map(tuple, full.linked.collect()))
+    got_linked = sorted(map(tuple, store.read("linked").select(*full.linked.columns).collect()))
+    assert got_linked == want_linked
+    full.triples.unpersist()
+    full.canon_map.unpersist()
+
+
+def test_full_dag_batch_settles_prior_ingest_only_links(spark, spark_corpus, tmp_path):
+    """Same debt settled by a normal (non-empty) full-DAG batch: its linked
+    stage must cover the ingest-only batch's mentions too, not just its
+    own (append-only linking previously skipped them forever)."""
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "backlog2"))
+    b1 = pages.limit(100).localCheckpoint()
+    rest = pages.join(b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    b2 = rest.limit(100).localCheckpoint()
+    b3 = rest.join(b2.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti").localCheckpoint()
+    incremental_ingest(spark, b1, store, alias_dict=alias)
+    incremental_ingest(spark, b2, store)  # ingest-only
+    incremental_ingest(spark, b3, store, alias_dict=alias)  # full DAG settles b2's debt
+    full = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    want_linked = sorted(map(tuple, full.linked.collect()))
+    got_linked = sorted(map(tuple, store.read("linked").select(*full.linked.columns).collect()))
+    assert got_linked == want_linked
+    assert _edges_key(store.read("edges")) == _edges_key(full.edges)
+    full.triples.unpersist()
+    full.canon_map.unpersist()
