@@ -83,3 +83,150 @@ def entities_table(alias_dict: DataFrame, canon_map: DataFrame) -> DataFrame:
         )
         .withColumn("bucket", entity_bucket(F.col("entity_id")))
     )
+
+
+def out_neighborhood(
+    spark,
+    edges_path: str,
+    entity_ids: list[str],
+    hops: int = 1,
+    n_buckets: int = NUM_BUCKETS,
+    max_frontier: int = 100_000,
+) -> DataFrame:
+    """Point query over the materialized bucketed edges table: the out-edge
+    neighborhood of `entity_ids` within `hops`, reading ONLY the bucket
+    partition dirs that can hold the frontier's edges — the read-side payoff
+    the bucket(src_entity) layout exists for (the reference serves the
+    analogous per-entity link lookups from a Postgres index,
+    persistence/SegmentDbConnector.py:190-221; here the partition filter is
+    the index). Per hop: one pruned scan + a driver-collected frontier —
+    O(touched buckets) IO per hop regardless of table size, which is the
+    right trade for point/feature queries (bulk neighborhood jobs should use
+    khop_reach/graph ops instead; this loop is deliberately driver-paced).
+
+    Directionality contract: this prunes on bucket(src_entity), the layout
+    the pipeline's edges stage writes. For reverse lookups ("who points at
+    X?") materialize the dst-bucketed twin once with `write_edges_by_dst`
+    and query it with `in_neighborhood` — same IO bound, opposite walk.
+    max_frontier bounds the driver collect; exceeding it raises instead of
+    silently degrading.
+
+    Returns the distinct visited edges (src_entity, dst_entity, pred,
+    weight, hop) with hop = the round whose frontier first expanded the
+    edge's src (each node is expanded at most once — on a cycle the next
+    frontier subtracts already-expanded nodes, so the loop terminates and
+    no bucket is re-read for a node it already served).
+    """
+    return _bfs_neighborhood(
+        spark, edges_path, entity_ids, "src_entity", "dst_entity",
+        hops, n_buckets, max_frontier,
+    )
+
+
+def write_edges_by_dst(edges: DataFrame, path: str, n_buckets: int = NUM_BUCKETS) -> None:
+    """Materialize the dst-bucketed twin of the edges table — one extra
+    shuffle-free pass at write time buys partition-pruned REVERSE point
+    lookups forever after (the classic both-directions layout for adjacency
+    at scale: same rows, second sort/partition key). `edges` is the output
+    of `edges_table` (its `bucket` column is src-keyed and recomputed here)."""
+    (
+        edges.drop("bucket")
+        .withColumn("bucket", entity_bucket(F.col("dst_entity"), n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def in_neighborhood(
+    spark,
+    edges_by_dst_path: str,
+    entity_ids: list[str],
+    hops: int = 1,
+    n_buckets: int = NUM_BUCKETS,
+    max_frontier: int = 100_000,
+) -> DataFrame:
+    """Reverse point query over the dst-bucketed twin (`write_edges_by_dst`):
+    edges whose dst is in the frontier, walking backwards through src — hop =
+    the round whose frontier first expanded the edge's dst. Same per-hop IO
+    bound as `out_neighborhood`: bucket partition filter first, exact
+    IN-list second."""
+    return _bfs_neighborhood(
+        spark, edges_by_dst_path, entity_ids, "dst_entity", "src_entity",
+        hops, n_buckets, max_frontier,
+    )
+
+
+def _bfs_neighborhood(
+    spark,
+    path: str,
+    entity_ids: list[str],
+    key_col: str,
+    next_col: str,
+    hops: int,
+    n_buckets: int,
+    max_frontier: int,
+) -> DataFrame:
+    frontier = sorted(set(entity_ids))
+    visited: set[str] = set()
+    seen_edges = None
+    for hop in range(1, hops + 1):
+        if not frontier:
+            break
+        if len(frontier) > max_frontier:
+            raise ValueError(
+                f"frontier of {len(frontier)} exceeds max_frontier={max_frontier}; "
+                "use khop_reach/graph ops for bulk neighborhoods"
+            )
+        hop_edges = (
+            pruned_edge_scan(spark, path, frontier, n_buckets, key_col=key_col)
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        seen_edges = (
+            hop_edges if seen_edges is None else seen_edges.unionByName(hop_edges)
+        )
+        visited.update(frontier)
+        frontier = sorted(
+            {r[next_col] for r in hop_edges.select(next_col).distinct().collect()}
+            - visited
+        )
+    if seen_edges is None:
+        return spark.createDataFrame(
+            [], "src_entity string, dst_entity string, pred string, weight long, hop int"
+        )
+    return seen_edges
+
+
+def pruned_edge_scan(
+    spark,
+    edges_path: str,
+    frontier: list[str],
+    n_buckets: int = NUM_BUCKETS,
+    key_col: str = "src_entity",
+) -> DataFrame:
+    """One frontier hop's scan: bucket partition filter FIRST (prunes the
+    parquet listing to the dirs that can hold the frontier's key entities —
+    plan-asserted in tests/test_plans.py), then the exact key IN-list.
+    Bucket ids come from a tiny local DataFrame so the JVM xxhash64 that
+    wrote the layout is the one that prunes it (a Python reimplementation
+    would silently drift). `key_col` must be the column the layout at
+    `edges_path` was bucketed on (src for the pipeline's edges stage, dst
+    for the `write_edges_by_dst` twin)."""
+    buckets = sorted(
+        {
+            row["b"]
+            for row in spark.createDataFrame(
+                [(e,) for e in frontier], f"{key_col} string"
+            )
+            .select(entity_bucket(F.col(key_col), n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+    )
+    return (
+        spark.read.parquet(edges_path)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col(key_col).isin(frontier))
+        .select("src_entity", "dst_entity", "pred", "weight")
+    )

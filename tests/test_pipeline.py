@@ -70,6 +70,100 @@ def test_lineage_rows_cover_all_stages(first_run):
     assert first_run["lineage_bad"] == 0
 
 
+def test_out_neighborhood_matches_driver_bfs(spark, pipe_dir, first_run):
+    """Point query over the materialized bucket-partitioned edges table must
+    equal a driver-side BFS over the full edge list: same edge set, same
+    first-reached hop attribution, each src expanded exactly once."""
+    import os
+
+    from docprocai_service_spark.operators.materialize import out_neighborhood
+
+    edges_path = os.path.join(pipe_dir, "edges")
+    rows = spark.read.parquet(edges_path).select(
+        "src_entity", "dst_entity", "pred", "weight"
+    ).collect()
+    adj: dict[str, list] = {}
+    for r in rows:
+        adj.setdefault(r.src_entity, []).append(r)
+    # seeds with real out-degree so two hops exercise the frontier loop
+    seeds = sorted(adj)[:3]
+
+    expected: dict[tuple, tuple] = {}
+    frontier, visited = set(seeds), set()
+    for hop in (1, 2):
+        nxt: set[str] = set()
+        for s in frontier:
+            for e in adj.get(s, []):
+                expected[(e.src_entity, e.dst_entity, e.pred)] = (e.weight, hop)
+                nxt.add(e.dst_entity)
+        visited |= frontier
+        frontier = nxt - visited
+
+    got = out_neighborhood(spark, edges_path, seeds, hops=2)
+    got_rows = {
+        (r.src_entity, r.dst_entity, r.pred): (r.weight, r.hop) for r in got.collect()
+    }
+    assert got_rows == expected
+    assert got.count() == len(got_rows)  # no duplicate edges across hops
+
+
+def test_in_neighborhood_reverse_bfs_over_dst_twin(spark, pipe_dir, first_run, tmp_path):
+    """Reverse point query: materialize the dst-bucketed twin once, then an
+    in-neighborhood walk must equal a driver BFS over reversed edges."""
+    import os
+
+    from docprocai_service_spark.operators.materialize import (
+        in_neighborhood,
+        write_edges_by_dst,
+    )
+
+    edges_path = os.path.join(pipe_dir, "edges")
+    twin_path = str(tmp_path / "edges_by_dst")
+    write_edges_by_dst(spark.read.parquet(edges_path), twin_path)
+
+    rows = spark.read.parquet(edges_path).select(
+        "src_entity", "dst_entity", "pred", "weight"
+    ).collect()
+    radj: dict[str, list] = {}
+    for r in rows:
+        radj.setdefault(r.dst_entity, []).append(r)
+    seeds = sorted(radj)[:3]
+
+    expected: dict[tuple, tuple] = {}
+    frontier, visited = set(seeds), set()
+    for hop in (1, 2):
+        nxt: set[str] = set()
+        for s in frontier:
+            for e in radj.get(s, []):
+                expected[(e.src_entity, e.dst_entity, e.pred)] = (e.weight, hop)
+                nxt.add(e.src_entity)
+        visited |= frontier
+        frontier = nxt - visited
+
+    got = in_neighborhood(spark, twin_path, seeds, hops=2)
+    got_rows = {
+        (r.src_entity, r.dst_entity, r.pred): (r.weight, r.hop) for r in got.collect()
+    }
+    assert got_rows == expected
+    # the twin holds the same edge multiset as the source table
+    assert spark.read.parquet(twin_path).count() == len(rows)
+
+
+def test_out_neighborhood_guards_and_empty(spark, pipe_dir, first_run):
+    import os
+
+    import pytest as _pytest
+
+    from docprocai_service_spark.operators.materialize import out_neighborhood
+
+    edges_path = os.path.join(pipe_dir, "edges")
+    empty = out_neighborhood(spark, edges_path, [], hops=3)
+    assert empty.count() == 0
+    assert empty.columns == ["src_entity", "dst_entity", "pred", "weight", "hop"]
+    with _pytest.raises(ValueError, match="max_frontier"):
+        out_neighborhood(spark, edges_path, ["a", "b", "c"], hops=1, max_frontier=2)
+
+
 def test_incremental_ingest_appends_only_new_keys(spark, spark_corpus, tmp_path):
     pages, alias = spark_corpus
     store = StageStore(spark, str(tmp_path / "inc"))
