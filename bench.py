@@ -47,6 +47,8 @@ HEADLINE = [
     # round-4 additions: distributed graph workloads at sf scale
     "khop_reach_tpch",
     "pagerank_tpch",
+    # round-5: hub-safe triangle counting (degree-ordered orientation)
+    "triangle_counts_tpch",
 ]
 
 

@@ -384,3 +384,52 @@ def test_graph_param_guards(spark):
         pagerank_fixed(edges, iters=2, checkpoint_every=0)
     with _pt.raises(ValueError, match="n_bands"):
         cosine_pairs(edges.selectExpr("src as vec_id"), 0.5, dim=4, n_bands=0)
+
+
+def test_triangle_counts_planted(spark):
+    """K4 (every node in C(3,2)=3 triangles) + a 3-path (0 triangles) +
+    one bridge edge that closes no triangle."""
+    from docprocai_service_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    path = [("p", "q"), ("q", "r")]
+    bridge = [("d", "p")]
+    edges = spark.createDataFrame(k4 + path + bridge, "src string, dst string")
+    got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "p": 0, "q": 0, "r": 0}
+
+
+def test_triangle_counts_matches_brute_force_random(spark):
+    """Degree-oriented enumeration equals the O(n^3) driver count on a
+    random graph, and is invariant to edge direction, duplication, and
+    self-loops."""
+    import itertools
+    import random
+
+    from docprocai_service_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    und = {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.15}
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for n in nodes:
+        if not adj[n]:
+            continue
+        expected[n] = sum(
+            1 for v, w in itertools.combinations(sorted(adj[n]), 2) if w in adj[v]
+        )
+
+    # messy input: random direction, duplicates, self-loops
+    rows = []
+    for a, b in und:
+        rows.append((a, b) if rng.random() < 0.5 else (b, a))
+        if rng.random() < 0.3:
+            rows.append((a, b))
+    rows += [(n, n) for n in nodes[:5]]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == expected
