@@ -793,11 +793,15 @@ def pagerank_tpch(spark, sf_dir):
     return pagerank_fixed(_tpch_entity_edges(spark, sf_dir), iters=6, checkpoint_every=3)
 
 
-def _pagerank_oracle_sql(iters: int = 6, damping_pct: int = 85) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 6, damping_pct: int = 85, seeds: list[str] | None = None
+) -> str:
     """Unrolled-iteration DuckDB mirror of pagerank_fixed (recursive CTEs
     cannot aggregate over the recursive reference, so each iteration is its
     own CTE block — exact 64-bit floor arithmetic, identical to the Spark
-    loop by construction)."""
+    loop by construction). With `seeds`, mirrors the personalized variant:
+    initial mass and teleport term go only to the seed IN-list, split by
+    floor over the (Python-computed) seed count."""
     head = """
         WITH e0 AS (
           SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
@@ -813,14 +817,32 @@ def _pagerank_oracle_sql(iters: int = 6, damping_pct: int = 85) -> str:
         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         outdeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    """
+    if seeds is None:
+        head += """
         pr0 AS (SELECT id, CAST(1000000000000 // cnt.n AS BIGINT) AS rank FROM nodes, cnt)
     """
+        base_term = f"((100 - {damping_pct}) * 1000000000000 // 100) // cnt.n"
+    else:
+        seed_list = sorted(set(seeds))
+        in_list = ", ".join(f"'{s}'" for s in seed_list)
+        ns = len(seed_list)
+        head += f"""
+        pr0 AS (SELECT id,
+                       CAST(CASE WHEN id IN ({in_list})
+                                 THEN {1_000_000_000_000 // ns} ELSE 0 END AS BIGINT) AS rank
+                FROM nodes)
+    """
+        base_term = (
+            f"CASE WHEN nd.id IN ({in_list}) "
+            f"THEN {((100 - damping_pct) * 1_000_000_000_000 // 100) // ns} ELSE 0 END"
+        )
     blocks = []
     for i in range(1, iters + 1):
         blocks.append(f"""
         , pr{i} AS (
           SELECT nd.id,
-                 CAST(((100 - {damping_pct}) * 1000000000000 // 100) // cnt.n
+                 CAST({base_term}
                       + coalesce(s.c, 0) AS BIGINT) AS rank
           FROM nodes nd CROSS JOIN cnt
           LEFT JOIN (
@@ -881,6 +903,26 @@ def kg_entities_docs(spark, sf_dir):
 # (tests/test_pipeline.py, incl. batch-vs-incremental edge equality and
 # lineage coverage) and golden-pinned by tests/test_entry_oracles.py::
 # test_run_pipeline_edges_match_oracled_chain_operators.
+
+
+#: Personalized-PageRank seed entities for ppr_tpch — suppliers exist (and
+#: have out-edges) at every test scale factor, so the seeded mass actually
+#: propagates.
+_PPR_SEEDS = ["S1", "S2"]
+
+
+def ppr_tpch(spark, sf_dir):
+    """Personalized PageRank from two supplier seeds over the TPC-H entity
+    graph — the entity-relatedness feature a KG pipeline serves ("how close
+    is every entity to this seed set?"). Same exact-integer iteration as
+    pagerank_tpch (operators/graph.pagerank_fixed with seeds=...), so the
+    seeded variant is ALSO fully DuckDB-oracle-checked via the unrolled CTE
+    with a seed-restricted base term."""
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+
+    return pagerank_fixed(
+        _tpch_entity_edges(spark, sf_dir), iters=6, checkpoint_every=3, seeds=_PPR_SEEDS
+    )
 
 
 def triangle_counts_tpch(spark, sf_dir):
@@ -985,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach_tpch": khop_reach_tpch,
         "khop_reach_approx_tpch": khop_reach_approx_tpch,
         "pagerank_tpch": pagerank_tpch,
+        "ppr_tpch": ppr_tpch,
         "triangle_counts_tpch": triangle_counts_tpch,
     }
 
@@ -1610,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY canon_id
         """,
         "pagerank_tpch": _pagerank_oracle_sql(iters=6),
+        "ppr_tpch": _pagerank_oracle_sql(iters=6, seeds=_PPR_SEEDS),
         # simhash_near_dup_docs, ann_topk_embeddings, ivf_topk_embeddings,
         # winnow_fingerprint_docs, cosine_near_dup_bucketed,
         # khop_reach_approx_tpch: genuinely non-SQL-expressible (LSH banding,

@@ -433,3 +433,55 @@ def test_triangle_counts_matches_brute_force_random(spark):
     edges = spark.createDataFrame(rows, "src string, dst string")
     got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == expected
+
+
+def test_personalized_pagerank_matches_integer_reference(spark):
+    """Seeded teleport: Spark's integer iteration must equal a driver-side
+    reimplementation of the exact same floor arithmetic, and seed mass must
+    dominate near the seeds."""
+    from docprocai_service_spark.operators.graph import PR_SCALE, pagerank_fixed
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # cycle
+        ("a", "d"), ("d", "e"),               # tail
+        ("f", "a"),                           # inflow
+    ]
+    seeds, iters, d = ["a"], 5, 85
+    got = {
+        r.id: r.rank
+        for r in pagerank_fixed(
+            spark.createDataFrame(edges, "src string, dst string"),
+            iters=iters,
+            seeds=seeds,
+        ).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s_, t_ in edges:
+        out.setdefault(s_, set()).add(t_)
+    s = len(seeds)
+    rank = {n: (PR_SCALE // s if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for u in nodes:
+            for v in out.get(u, ()):
+                contrib[v] += (rank[u] * d) // (len(out[u]) * 100)
+        base = ((100 - d) * PR_SCALE // 100) // s
+        rank = {n: (base if n in seeds else 0) + contrib[n] for n in nodes}
+    assert got == rank
+    assert max(got, key=got.get) == "a"
+    assert got["f"] == 0  # nothing flows into f and it is not a seed
+
+
+def test_personalized_pagerank_guards(spark):
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_fixed(edges, seeds=[])
+    with pytest.raises(ValueError, match="not nodes"):
+        pagerank_fixed(edges, seeds=["a", "zz"])
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_fixed(empty, seeds=["a"])
