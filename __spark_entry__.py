@@ -925,6 +925,20 @@ def ppr_tpch(spark, sf_dir):
     )
 
 
+def link_predict_tpch(spark, sf_dir):
+    """Common-neighbor link prediction over the TPC-H entity graph
+    (operators/graph.common_neighbor_scores): non-adjacent pairs sharing
+    >= 2 neighbors, with the apex-degree cap at 64 so high-degree hubs
+    (suppliers/nations at bench scale) are excluded from evidence — the
+    bounded-candidate-generation trade the operator documents. cn and
+    floor-ppm Jaccard are pure integers, hence a full DuckDB oracle."""
+    from docprocai_service_spark.operators.graph import common_neighbor_scores
+
+    return common_neighbor_scores(
+        _tpch_entity_edges(spark, sf_dir), min_common=2, max_apex_degree=64
+    )
+
+
 def triangle_counts_tpch(spark, sf_dir):
     """Per-node triangle counts over the TPC-H entity graph — local edge
     closure as a KG-quality feature (operators/graph.triangle_counts:
@@ -1029,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_tpch": pagerank_tpch,
         "ppr_tpch": ppr_tpch,
         "triangle_counts_tpch": triangle_counts_tpch,
+        "link_predict_tpch": link_predict_tpch,
     }
 
 
@@ -1580,6 +1595,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, CAST(count(*) AS BIGINT) AS n_reach
             FROM r3 GROUP BY src
+        """,
+        "link_predict_tpch": """
+            WITH e AS (
+              SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              UNION
+              SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+              UNION
+              SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+              UNION
+              SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+            ),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e WHERE src <> dst
+            ),
+            deg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+              GROUP BY n
+            ),
+            nbr AS (
+              SELECT a AS w, b AS n FROM und UNION ALL SELECT b, a FROM und
+            ),
+            small AS (
+              SELECT nbr.w, nbr.n FROM nbr JOIN deg ON deg.n = nbr.w
+              WHERE deg.d <= 64
+            ),
+            pairs AS (
+              SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS cn
+              FROM small x JOIN small y ON x.w = y.w AND x.n < y.n
+              GROUP BY x.n, y.n
+              HAVING count(*) >= 2
+            ),
+            cand AS (
+              SELECT p.* FROM pairs p
+              ANTI JOIN und ON p.u = und.a AND p.v = und.b
+            )
+            SELECT c.u, c.v, c.cn,
+                   CAST((1000000 * c.cn) // (du.d + dv.d - c.cn) AS BIGINT)
+                     AS jaccard_ppm
+            FROM cand c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
         """,
         "triangle_counts_tpch": """
             WITH e AS (

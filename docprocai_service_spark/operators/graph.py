@@ -313,6 +313,98 @@ def triangle_counts(edges: DataFrame, reliable_checkpoint: bool = False) -> Data
     )
 
 
+def common_neighbor_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_apex_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction over the undirected simple graph: for each NON-adjacent
+    node pair (u, v) sharing at least `min_common` neighbors, emit
+    (u, v, cn, jaccard_ppm) with u < v, cn = |N(u) ∩ N(v)| and jaccard_ppm =
+    floor(1e6 · cn / |N(u) ∪ N(v)|) — the classic common-neighbors /
+    neighborhood-Jaccard candidate-link features a KG pipeline uses to
+    propose missing edges. All-integer arithmetic (counts + one floor
+    division), so the operator carries a full SQL oracle.
+
+    Scale shape: candidate pairs are generated per APEX (each shared
+    neighbor w contributes C(deg(w), 2) wedge rows), which is inherently
+    quadratic in apex degree — no orientation trick removes it, because the
+    PAIR SET ITSELF is quadratic at a hub. `max_apex_degree` is therefore
+    the contract knob: apexes above the cap are excluded from evidence
+    (same bounded-candidate-generation trade as the LSH hot-bucket cap in
+    canonicalize.py — a Wikipedia-style hub shared by 10⁶ entities carries
+    ~zero link-prediction signal anyway, exactly like a stopword shingle).
+    cn/jaccard then count CAPPED evidence — the oracle mirrors the cap, so
+    the contract stays exact. Cost: one wedge self-join bounded by
+    Σ_{deg(w)≤cap} C(deg(w), 2), one (u,v) aggregation, one anti-join
+    against the edge set, two degree joins.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    und = _fresh(
+        _truncate_lineage(
+            edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct(),
+            False,
+        )
+    )
+    # deg is consumed three times (cap filter, du join, dv join) — node-sized,
+    # checkpoint once instead of re-running the union+agg per consumer
+    deg = _fresh(
+        _truncate_lineage(
+            und.select(F.col("a").alias("n"))
+            .unionAll(und.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d")),
+            False,
+        )
+    )
+    # Deliberately NOT broadcast: an interleaved best-of ablation at sf0.1
+    # (32 cores, 4 rounds) measured SMJ 8.5 s vs F.broadcast(deg) 9.5-10.1 s.
+    # The cap semi-join's shuffle of nbr by w is REQUIRED by the wedge
+    # self-join anyway (exchange reuse makes the semi-join's partitioning
+    # free), so broadcasting deg removes no nbr shuffle — it only converts
+    # the two candidate-set joins, whose input is the small post-agg pair
+    # set, while adding three broadcast exchanges + hash-table builds. The
+    # same argument holds on a real cluster, and shuffle joins are also the
+    # only shape that survives web-scale node counts (deg = one row per
+    # node).
+    nbr = und.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    if max_apex_degree is not None:
+        nbr = nbr.join(
+            deg.filter(F.col("d") <= max_apex_degree).select(F.col("n").alias("w")),
+            "w",
+            "left_semi",
+        )
+    pairs = (
+        nbr.alias("x")
+        .join(nbr.alias("y"), F.col("x.w") == F.col("y.w"))
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias("u"), F.col("y.n").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    candidates = pairs.join(
+        und, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")), "left_anti"
+    )
+    return (
+        candidates.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("cn"),
+            F.expr("(1000000 * cn) DIV (du + dv - cn)").cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
 def khop_reach_counts_approx(
     edges: DataFrame,
     k: int = 2,

@@ -485,3 +485,59 @@ def test_personalized_pagerank_guards(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         pagerank_fixed(empty, seeds=["a"])
+
+
+def test_common_neighbor_scores_brute_force(spark):
+    """No cap: (cn, jaccard_ppm) for every non-adjacent pair must equal the
+    driver-side set arithmetic, including the floor-ppm rounding."""
+    import itertools
+    import random
+
+    from docprocai_service_spark.operators.graph import common_neighbor_scores
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    und = {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.2}
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for u, v in itertools.combinations(nodes, 2):
+        if (u, v) in und:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn >= 1:
+            expected[(u, v)] = (cn, (1_000_000 * cn) // len(adj[u] | adj[v]))
+
+    edges = spark.createDataFrame(sorted(und), "src string, dst string")
+    got = {
+        (r.u, r.v): (r.cn, r.jaccard_ppm)
+        for r in common_neighbor_scores(edges).collect()
+    }
+    assert got == expected
+
+
+def test_common_neighbor_scores_hub_cap_drops_hub_evidence(spark):
+    """A star hub above the cap contributes no wedge evidence: its leaves
+    stop being candidate pairs unless another (small) apex connects them."""
+    from docprocai_service_spark.operators.graph import common_neighbor_scores
+
+    star = [("hub", f"leaf{i}") for i in range(10)]
+    side = [("leaf0", "x"), ("leaf1", "x")]  # small apex x connects leaf0/leaf1
+    edges = spark.createDataFrame(star + side, "src string, dst string")
+
+    uncapped = {
+        (r.u, r.v): r.cn for r in common_neighbor_scores(edges).collect()
+    }
+    capped = {
+        (r.u, r.v): r.cn
+        for r in common_neighbor_scores(edges, max_apex_degree=5).collect()
+    }
+    # uncapped: all leaf pairs share the hub
+    assert uncapped[("leaf0", "leaf1")] == 2  # hub + x
+    assert uncapped[("leaf2", "leaf3")] == 1
+    # capped (hub degree 10 > 5): hub-apex wedges gone — what remains is
+    # x-mediated leaf evidence plus the (hub, x) pair whose evidence runs
+    # through the two SMALL apexes leaf0/leaf1 (cap is per-apex, not per-node)
+    assert capped == {("leaf0", "leaf1"): 1, ("hub", "x"): 2}
