@@ -794,15 +794,41 @@ def pagerank_tpch(spark, sf_dir):
 
 
 def _pagerank_oracle_sql(
-    iters: int = 6, damping_pct: int = 85, seeds: list[str] | None = None
+    iters: int = 6,
+    damping_pct: int = 85,
+    seeds: list[str] | None = None,
+    weighted: bool = False,
 ) -> str:
     """Unrolled-iteration DuckDB mirror of pagerank_fixed (recursive CTEs
     cannot aggregate over the recursive reference, so each iteration is its
     own CTE block — exact 64-bit floor arithmetic, identical to the Spark
     loop by construction). With `seeds`, mirrors the personalized variant:
     initial mass and teleport term go only to the seed IN-list, split by
-    floor over the (Python-computed) seed count."""
-    head = """
+    floor over the (Python-computed) seed count. With `weighted`, edge
+    multiplicity becomes the weight (UNION ALL + count per pair — the
+    lineitem count for S→C edges, 1 elsewhere) and the contribution term
+    becomes ((rank·d)//100)·w // outw, matching pagerank_fixed's
+    overflow-safe ordering."""
+    if weighted:
+        head = """
+        WITH e0 AS (
+          SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+          UNION ALL
+          SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+          UNION ALL
+          SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        ),
+        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM e0 GROUP BY src, dst),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        outdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+    """
+    else:
+        head = """
         WITH e0 AS (
           SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -837,6 +863,10 @@ def _pagerank_oracle_sql(
             f"CASE WHEN nd.id IN ({in_list}) "
             f"THEN {((100 - damping_pct) * 1_000_000_000_000 // 100) // ns} ELSE 0 END"
         )
+    if weighted:
+        contrib_term = f"((p.rank * {damping_pct}) // 100) * e.w // o.outw"
+    else:
+        contrib_term = f"(p.rank * {damping_pct}) // (o.outdeg * 100)"
     blocks = []
     for i in range(1, iters + 1):
         blocks.append(f"""
@@ -847,7 +877,7 @@ def _pagerank_oracle_sql(
           FROM nodes nd CROSS JOIN cnt
           LEFT JOIN (
             SELECT e.dst AS id,
-                   CAST(sum((p.rank * {damping_pct}) // (o.outdeg * 100)) AS BIGINT) AS c
+                   CAST(sum({contrib_term}) AS BIGINT) AS c
             FROM e JOIN pr{i - 1} p ON e.src = p.id JOIN outdeg o ON o.id = e.src
             GROUP BY e.dst
           ) s ON s.id = nd.id
@@ -909,6 +939,23 @@ def kg_entities_docs(spark, sf_dir):
 #: have out-edges) at every test scale factor, so the seeded mass actually
 #: propagates.
 _PPR_SEEDS = ["S1", "S2"]
+
+
+def wpagerank_tpch(spark, sf_dir):
+    """WEIGHTED deterministic PageRank: edge multiplicity (lineitem count
+    per supplier→customer pair; 1 elsewhere) becomes the weight, so mass
+    flows proportionally to corroboration — the semantics the KG edges
+    table (weight = triple count) wants. Same exact-integer contract with
+    the overflow-safe ((rank·d)//100)·w//outw ordering, mirrored
+    term-for-term in the unrolled-CTE oracle."""
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+
+    return pagerank_fixed(
+        _tpch_entity_edges(spark, sf_dir).withColumn("w", F.lit(1)),
+        iters=6,
+        checkpoint_every=3,
+        weight_col="w",
+    )
 
 
 def ppr_tpch(spark, sf_dir):
@@ -1042,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach_approx_tpch": khop_reach_approx_tpch,
         "pagerank_tpch": pagerank_tpch,
         "ppr_tpch": ppr_tpch,
+        "wpagerank_tpch": wpagerank_tpch,
         "triangle_counts_tpch": triangle_counts_tpch,
         "link_predict_tpch": link_predict_tpch,
     }
@@ -1711,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_tpch": _pagerank_oracle_sql(iters=6),
         "ppr_tpch": _pagerank_oracle_sql(iters=6, seeds=_PPR_SEEDS),
+        "wpagerank_tpch": _pagerank_oracle_sql(iters=6, weighted=True),
         # simhash_near_dup_docs, ann_topk_embeddings, ivf_topk_embeddings,
         # winnow_fingerprint_docs, cosine_near_dup_bucketed,
         # khop_reach_approx_tpch: genuinely non-SQL-expressible (LSH banding,

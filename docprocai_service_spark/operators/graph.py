@@ -101,6 +101,7 @@ def pagerank_fixed(
     reliable_checkpoint: bool = False,
     checkpoint_every: int = 1,
     seeds: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank over directed (src, dst) edges.
 
@@ -125,6 +126,19 @@ def pagerank_fixed(
     CASE, zero extra shuffles, and the result stays a pure integer function
     of (edge set, seed set) — hence still fully SQL-oracle-checkable.
 
+    weight_col: WEIGHTED PageRank — the KG edges table carries a
+    corroboration weight (operators/materialize.edges_table: how many
+    triples assert this edge), and rank should follow it. Parallel edges
+    are summed into W(u,v) = Σ weight; each neighbor receives
+    floor( floor(rank(u)·85/100) · W(u,v) / W_out(u) ). The damping factor
+    is applied BEFORE the weight product — that ordering keeps the
+    intermediate ≤ floor(rank·0.85) · W(u,v), inside int64 for any per-edge
+    weight below ~10⁷ at PR_SCALE=1e12 (the caller's documented bound;
+    beyond it 64-bit products wrap in both engines identically, but don't
+    go there); it is also the contract the oracle mirrors term-for-term.
+    weight_col=None keeps the uniform-outdeg path byte-identical to
+    previous rounds.
+
     Output: (id, rank) with rank in micro-units (BIGINT); divide by
     PR_SCALE for the conventional [0, 1] value.
 
@@ -142,7 +156,17 @@ def pagerank_fixed(
     # instead of re-running the caller's edge-derivation plan (measured 2×
     # end-to-end when the distinct was left lazy and the upstream re-ran
     # inside the deg_pairs job — exchange reuse does not cross jobs).
-    pairs = _truncate_lineage(edges.select("src", "dst").distinct(), reliable_checkpoint)
+    if weight_col is None:
+        pairs = _truncate_lineage(
+            edges.select("src", "dst").distinct(), reliable_checkpoint
+        )
+    else:
+        pairs = _truncate_lineage(
+            edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w")),
+            reliable_checkpoint,
+        )
     nodes = _truncate_lineage(
         pairs.select(F.col("src").alias("id"))
         .union(pairs.select(F.col("dst").alias("id")))
@@ -156,16 +180,27 @@ def pagerank_fixed(
         # empty edge set: no nodes, no ranks — an empty result, not a
         # ZeroDivisionError (ADVICE r4)
         return nodes.withColumn("rank", F.lit(0).cast("long"))
-    # The per-edge contribution denominator outdeg(u) is LOOP-INVARIANT —
-    # fold it into the edge list ONCE (VERDICT r4 #1: re-deriving it inside
-    # every iteration's plan cost one extra aggregation + join shuffle per
-    # round). Each iteration below is exactly one join + one agg.
-    deg_pairs = _truncate_lineage(
-        pairs.join(
-            pairs.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg")), "src"
-        ),
-        reliable_checkpoint,
-    )
+    # The per-edge contribution denominator (outdeg(u), or total out-weight
+    # W_out(u) in weighted mode) is LOOP-INVARIANT — fold it into the edge
+    # list ONCE (VERDICT r4 #1: re-deriving it inside every iteration's plan
+    # cost one extra aggregation + join shuffle per round). Each iteration
+    # below is exactly one join + one agg.
+    if weight_col is None:
+        deg_pairs = _truncate_lineage(
+            pairs.join(
+                pairs.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg")), "src"
+            ),
+            reliable_checkpoint,
+        )
+        contrib_expr = f"(rank * {damping_pct}) DIV (outdeg * 100)"
+    else:
+        deg_pairs = _truncate_lineage(
+            pairs.join(
+                pairs.groupBy(F.col("src")).agg(F.sum("w").alias("outw")), "src"
+            ),
+            reliable_checkpoint,
+        )
+        contrib_expr = f"((rank * {damping_pct}) DIV 100) * w DIV outw"
     if seeds is None:
         base_col = F.lit(((100 - damping_pct) * PR_SCALE // 100) // n).cast("long")
         init_col = F.lit(PR_SCALE // n).cast("long")
@@ -192,7 +227,7 @@ def pagerank_fixed(
             deg_pairs.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
-                F.expr(f"(rank * {damping_pct}) DIV (outdeg * 100)").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").cast("long").alias("c"))

@@ -541,3 +541,40 @@ def test_common_neighbor_scores_hub_cap_drops_hub_evidence(spark):
     # x-mediated leaf evidence plus the (hub, x) pair whose evidence runs
     # through the two SMALL apexes leaf0/leaf1 (cap is per-apex, not per-node)
     assert capped == {("leaf0", "leaf1"): 1, ("hub", "x"): 2}
+
+
+def test_weighted_pagerank_matches_integer_reference(spark):
+    """weight_col: parallel edges sum into W(u,v); contribution is
+    ((rank*85)//100)*w//outw — verify against driver-side floor arithmetic
+    and that weighting actually shifts rank toward the heavy edge."""
+    from docprocai_service_spark.operators.graph import PR_SCALE, pagerank_fixed
+
+    # a splits 3:1 between b and c (parallel edges), d->a closes some flow
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "d", 1), ("c", "d", 1), ("d", "a", 2)]
+    iters, d = 4, 85
+    got = {
+        r.id: r.rank
+        for r in pagerank_fixed(
+            spark.createDataFrame(rows, "src string, dst string, weight long"),
+            iters=iters,
+            weight_col="weight",
+        ).collect()
+    }
+
+    w = {}
+    for s_, t_, wt in rows:
+        w[(s_, t_)] = w.get((s_, t_), 0) + wt
+    nodes = sorted({x for s_, t_, _ in rows for x in (s_, t_)})
+    outw = {}
+    for (s_, _), wt in w.items():
+        outw[s_] = outw.get(s_, 0) + wt
+    n = len(nodes)
+    rank = {x: PR_SCALE // n for x in nodes}
+    for _ in range(iters):
+        contrib = {x: 0 for x in nodes}
+        for (u, v), wt in w.items():
+            contrib[v] += ((rank[u] * d) // 100) * wt // outw[u]
+        base = ((100 - d) * PR_SCALE // 100) // n
+        rank = {x: base + contrib[x] for x in nodes}
+    assert got == rank
+    assert got["b"] > got["c"]  # 3:1 split visible in the ranks
