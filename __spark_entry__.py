@@ -823,9 +823,6 @@ def _pagerank_oracle_sql(
         ),
         e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
               FROM e0 GROUP BY src, dst),
-        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        outdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
     """
     else:
         head = """
@@ -840,6 +837,29 @@ def _pagerank_oracle_sql(
           SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
         ),
         e AS (SELECT DISTINCT src, dst FROM e0),
+    """
+    return head + _pagerank_blocks_sql(iters, damping_pct, seeds, weighted)
+
+
+def _pagerank_blocks_sql(
+    iters: int,
+    damping_pct: int,
+    seeds: list[str] | None = None,
+    weighted: bool = False,
+) -> str:
+    """The engine-independent tail of the PageRank oracle: nodes/cnt/outdeg +
+    pr0 + the unrolled iteration CTEs + final SELECT, assuming a CTE `e`
+    with columns (src, dst) — plus `w` when weighted — is already defined
+    upstream. Lets any edge-producing oracle chain (the TPC-H graph, the
+    full KG-DAG corpus) terminate in a rank computation by concatenation."""
+    if weighted:
+        head = """
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        outdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+    """
+    else:
+        head = """
         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         outdeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
@@ -908,6 +928,32 @@ def kg_edges_docs(spark, sf_dir):
     return edges_table(resolve_entities(t, alias, canon)).select(
         "src_entity", "dst_entity", "pred", "weight"
     )
+
+
+def kg_pagerank_docs(spark, sf_dir):
+    """END-TO-END: raw HTML pages → extract → triples → link → canonicalize
+    → weighted edges → corroboration-weighted PageRank over the constructed
+    KG — the full kg_construct DAG terminating in a graph-analytics product,
+    every stage inside ONE DuckDB oracle (the kg_edges_docs chain composed
+    with the unrolled weighted-PR CTEs via _pagerank_blocks_sql). Edge
+    weight = number of triples asserting the edge, so rank follows
+    corroboration."""
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+    from docprocai_service_spark.operators.materialize import edges_table, resolve_entities
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    edges = edges_table(resolve_entities(t, alias, canon))
+    e = edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
+    )
+    return pagerank_fixed(e, iters=4, checkpoint_every=2, weight_col="weight")
 
 
 def kg_entities_docs(spark, sf_dir):
@@ -1084,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_docs": kg_mentions_docs,
         "kg_linked_docs": kg_linked_docs,
         "kg_edges_docs": kg_edges_docs,
+        "kg_pagerank_docs": kg_pagerank_docs,
         "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
         "khop_reach_approx_tpch": khop_reach_approx_tpch,
@@ -1744,6 +1791,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_entity, dst_entity, pred, CAST(count(*) AS BIGINT) AS weight
             FROM resolved GROUP BY src_entity, dst_entity, pred
         """,
+        "kg_pagerank_docs": _KG_DOCS_ORACLE_BASE + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            ),
+            e AS (
+              SELECT src_entity AS src, dst_entity AS dst,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM resolved GROUP BY src_entity, dst_entity
+            ),
+        """ + _pagerank_blocks_sql(4, 85, None, True),
         "kg_entities_docs": f"""
             WITH alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
             names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
