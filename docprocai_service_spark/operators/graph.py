@@ -352,6 +352,7 @@ def common_neighbor_scores(
     edges: DataFrame,
     min_common: int = 1,
     max_apex_degree: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Link prediction over the undirected simple graph: for each NON-adjacent
     node pair (u, v) sharing at least `min_common` neighbors, emit
@@ -383,7 +384,7 @@ def common_neighbor_scores(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct(),
-            False,
+            reliable_checkpoint,
         )
     )
     # deg is consumed three times (cap filter, du join, dv join) — node-sized,
@@ -394,7 +395,7 @@ def common_neighbor_scores(
             .unionAll(und.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d")),
-            False,
+            reliable_checkpoint,
         )
     )
     # Deliberately NOT broadcast: an interleaved best-of ablation at sf0.1
