@@ -956,6 +956,38 @@ def kg_pagerank_docs(spark, sf_dir):
     return pagerank_fixed(e, iters=4, checkpoint_every=2, weight_col="weight")
 
 
+def kg_neighborhood_docs(spark, sf_dir):
+    """The partition-pruned POINT-QUERY surface, oracle-checked end-to-end:
+    construct the KG edges, materialize them bucket(src_entity)-partitioned
+    (the pipeline's real layout), then out_neighborhood from two canonical
+    seeds (E000 'beta group', E103 'acme 3') at hops=2 — per hop the scan's
+    PartitionFilters carry the frontier's bucket set, and on this corpus
+    hop 2 exercises the empty-frontier early exit (objects never re-appear
+    as subjects). Oracle = chained-join BFS with the same expand-once
+    semantics."""
+    import os
+    import tempfile
+
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.materialize import (
+        edges_table,
+        out_neighborhood,
+        resolve_entities,
+    )
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    edges = edges_table(resolve_entities(t, alias, canon))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_kg_nbhd_edges")
+    edges.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return out_neighborhood(spark, path, ["E000", "E103"], hops=2)
+
+
 def kg_entities_docs(spark, sf_dir):
     """Canonical entity registry (materialize's second output): id = MIN
     member id, canonical_name = that member's name, member_count — order-free
@@ -1131,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_docs": kg_linked_docs,
         "kg_edges_docs": kg_edges_docs,
         "kg_pagerank_docs": kg_pagerank_docs,
+        "kg_neighborhood_docs": kg_neighborhood_docs,
         "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
         "khop_reach_approx_tpch": khop_reach_approx_tpch,
@@ -1821,6 +1854,51 @@ def oracle_sql() -> dict[str, str]:
               FROM resolved GROUP BY src_entity, dst_entity
             ),
         """ + _pagerank_blocks_sql(4, 85, None, True),
+        "kg_neighborhood_docs": _KG_DOCS_ORACLE_BASE + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            ),
+            edges_agg AS (
+              SELECT src_entity, dst_entity, pred, CAST(count(*) AS BIGINT) AS weight
+              FROM resolved GROUP BY src_entity, dst_entity, pred
+            ),
+            seeds(id) AS (VALUES ('E000'), ('E103')),
+            h1 AS (
+              SELECT e.src_entity, e.dst_entity, e.pred, e.weight,
+                     CAST(1 AS INTEGER) AS hop
+              FROM edges_agg e JOIN seeds s ON e.src_entity = s.id
+            ),
+            f1 AS (
+              SELECT DISTINCT dst_entity AS id FROM h1
+              WHERE dst_entity NOT IN (SELECT id FROM seeds)
+            ),
+            h2 AS (
+              SELECT e.src_entity, e.dst_entity, e.pred, e.weight,
+                     CAST(2 AS INTEGER) AS hop
+              FROM edges_agg e JOIN f1 ON e.src_entity = f1.id
+            )
+            SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        """,
         "kg_entities_docs": f"""
             WITH alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
             names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),

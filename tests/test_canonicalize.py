@@ -578,3 +578,23 @@ def test_weighted_pagerank_matches_integer_reference(spark):
         rank = {x: base + contrib[x] for x in nodes}
     assert got == rank
     assert got["b"] > got["c"]  # 3:1 split visible in the ranks
+
+
+def test_weighted_pagerank_partitioning_invariant(spark):
+    """The weighted iteration must stay a pure integer function of
+    (edges, weights) — bit-identical under different partitionings."""
+    from docprocai_service_spark.operators.graph import pagerank_fixed
+
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "d", 2), ("c", "d", 5), ("d", "a", 1)]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight long")
+    r1 = {
+        r.id: r.rank
+        for r in pagerank_fixed(edges, iters=7, weight_col="weight").collect()
+    }
+    r2 = {
+        r.id: r.rank
+        for r in pagerank_fixed(
+            edges.repartition(11), iters=7, weight_col="weight", checkpoint_every=3
+        ).collect()
+    }
+    assert r1 == r2
