@@ -905,6 +905,83 @@ def _pagerank_blocks_sql(
     return head + "".join(blocks) + f"\n        SELECT id, rank FROM pr{iters}"
 
 
+_TPCH_EDGE_SET_SQL = """
+          SELECT DISTINCT src, dst FROM (
+            SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            UNION
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+            UNION
+            SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+            UNION
+            SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+          )
+"""
+
+
+def _bfs_oracle_sql(seeds: list[str], max_hops: int) -> str:
+    """DuckDB mirror of graph.bfs_distances over the TPC-H entity graph: a
+    recursive CTE enumerates every (node, pathlen) pair with pathlen <=
+    max_hops (UNION dedupes, the dist bound terminates it), and min(dist)
+    per node IS the BFS round of first discovery — hop weights are 1, so no
+    re-relaxation is needed. Seeds appear at dist 0 even if absent from the
+    edge set, matching the operator contract."""
+    seed_rows = ", ".join(f"('{s}', 0)" for s in sorted(set(seeds)))
+    return f"""
+        WITH RECURSIVE e AS ({_TPCH_EDGE_SET_SQL}),
+        walk(id, dist) AS (
+          SELECT * FROM (VALUES {seed_rows}) v(id, dist)
+          UNION
+          SELECT e.dst, walk.dist + 1
+          FROM walk JOIN e ON walk.id = e.src
+          WHERE walk.dist < {max_hops}
+        )
+        SELECT id, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY id
+    """
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled-round DuckDB mirror of graph.label_propagation (multiplicity
+    weights): undirected pair weight = raw-row count over both directions,
+    then per round one (id, label) weight-sum + QUALIFY argmax with the same
+    total (score DESC, label ASC) order the Spark window uses. Synchronous
+    rounds + integer sums make the two engines agree bit-for-bit."""
+    head = """
+        WITH e0 AS (
+          SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+          UNION ALL
+          SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+          UNION ALL
+          SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        ),
+        und AS (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM e0 WHERE src <> dst GROUP BY 1, 2
+        ),
+        adj AS (
+          SELECT a AS id, b AS nb, w FROM und
+          UNION ALL
+          SELECT b, a, w FROM und
+        ),
+        l0 AS (SELECT DISTINCT id, id AS label FROM adj)
+    """
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+        , l{i} AS (
+          SELECT adj.id, l.label
+          FROM adj JOIN l{i - 1} l ON adj.nb = l.id
+          GROUP BY adj.id, l.label
+          QUALIFY row_number() OVER (PARTITION BY adj.id
+                                     ORDER BY sum(adj.w) DESC, l.label ASC) = 1
+        )""")
+    return head + "".join(blocks) + f"\n        SELECT id, label FROM l{iters}"
+
+
 def kg_edges_docs(spark, sf_dir):
     """The COMPLETE KG DAG — extract → triples → link → canonicalize →
     resolve → weighted edges — over the SQL-constructed corpus, end-to-end
@@ -1075,6 +1152,31 @@ def triangle_counts_tpch(spark, sf_dir):
     return triangle_counts(_tpch_entity_edges(spark, sf_dir))
 
 
+def bfs_distances_tpch(spark, sf_dir):
+    """Multi-source BFS hop distances from the PPR seed cohort (S1, S2) over
+    the TPC-H entity graph (operators/graph.bfs_distances) — the "how far
+    from the curated seeds" proximity tier a KG pipeline attaches per
+    entity. Exact set-algebra BFS, so a full DuckDB oracle: recursive CTE
+    enumerating (node, pathlen <= 3) pairs with min(dist) = the BFS round of
+    first discovery."""
+    from docprocai_service_spark.operators.graph import bfs_distances
+
+    return bfs_distances(_tpch_entity_edges(spark, sf_dir), seeds=_PPR_SEEDS, max_hops=3)
+
+
+def label_propagation_tpch(spark, sf_dir):
+    """Deterministic synchronous label propagation (4 rounds) over the
+    TPC-H entity graph with edge multiplicity as corroboration weight
+    (operators/graph.label_propagation) — the community pass the north-star
+    pipeline names. Synchronous rounds + integer weight sums + total
+    (score DESC, label ASC) tie order make the result a pure function of
+    the edge set, hence the unrolled-CTE DuckDB oracle mirrors it
+    round-for-round."""
+    from docprocai_service_spark.operators.graph import label_propagation
+
+    return label_propagation(_tpch_entity_edges(spark, sf_dir), iters=4)
+
+
 def khop_reach_approx_tpch(spark, sf_dir):
     """Scale-safe k-hop neighborhood sizes via HLL sketches
     (operators/graph.khop_reach_counts_approx — VERDICT r4 #2: bounded
@@ -1172,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wpagerank_tpch": wpagerank_tpch,
         "triangle_counts_tpch": triangle_counts_tpch,
         "link_predict_tpch": link_predict_tpch,
+        "bfs_distances_tpch": bfs_distances_tpch,
+        "label_propagation_tpch": label_propagation_tpch,
     }
 
 
@@ -1915,6 +2019,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_tpch": _pagerank_oracle_sql(iters=6),
         "ppr_tpch": _pagerank_oracle_sql(iters=6, seeds=_PPR_SEEDS),
         "wpagerank_tpch": _pagerank_oracle_sql(iters=6, weighted=True),
+        "bfs_distances_tpch": _bfs_oracle_sql(seeds=_PPR_SEEDS, max_hops=3),
+        "label_propagation_tpch": _lpa_oracle_sql(iters=4),
         # simhash_near_dup_docs, ann_topk_embeddings, ivf_topk_embeddings,
         # winnow_fingerprint_docs, cosine_near_dup_bucketed,
         # khop_reach_approx_tpch: genuinely non-SQL-expressible (LSH banding,

@@ -19,7 +19,7 @@ connected_components is for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .canonicalize import _truncate_lineage
@@ -439,6 +439,159 @@ def common_neighbor_scores(
             F.expr("(1000000 * cn) DIV (du + dv - cn)").cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 3,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances: (id, dist) for every node reachable
+    from ANY seed in <= max_hops directed hops, dist = MINIMUM hop count
+    (seeds themselves at dist 0, even if absent from the edge set — the
+    caller asked about them, so they appear with distance zero rather than
+    silently vanishing). The shortest-path-feature twin of khop_reach: reach
+    answers "which pairs", this answers "how far from this seed set" — the
+    proximity column a KG pipeline derives per entity cohort (e.g. distance
+    from the curated-seed entities as a trust tier).
+
+    Exact integer semantics — the visited set is built by set algebra only
+    (join + distinct + anti-join per round), so the result is a pure
+    function of (edge set, seed set, max_hops) under any partitioning, and
+    the operator carries a full SQL oracle (DuckDB recursive CTE with
+    min(dist); BFS-by-increasing-round makes the first discovery the
+    minimum by construction, no re-relaxation needed — hop weights are 1).
+
+    Scale shape: per round one equi-join (frontier ⋈ edges, |frontier|-sized
+    probe side) + one distinct + one anti-join against visited — the
+    delta-BFS shape of khop_reach, but keyed from a seed set instead of
+    all-pairs, so the state is O(reachable nodes), NOT O(n·avg_deg^k) pairs:
+    this one is safe at any hubbiness and any max_hops. Early-exits when a
+    round discovers nothing new (frontier drained before max_hops).
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = edges.sparkSession
+    pairs = _fresh(
+        _truncate_lineage(edges.select("src", "dst").distinct(), reliable_checkpoint)
+    )
+    visited = spark.createDataFrame(
+        [(s, 0) for s in sorted(set(seeds))], "id string, dist int"
+    )
+    frontier = visited.select("id")
+    for i in range(1, max_hops + 1):
+        nxt = _fresh(
+            _truncate_lineage(
+                frontier.alias("f")
+                .join(pairs.alias("e"), F.col("f.id") == F.col("e.src"))
+                .select(F.col("e.dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti"),
+                reliable_checkpoint,
+            )
+        )
+        if nxt.isEmpty():
+            break
+        visited = _fresh(
+            _truncate_lineage(
+                visited.union(nxt.withColumn("dist", F.lit(i).cast("int"))),
+                reliable_checkpoint,
+            )
+        )
+        frontier = nxt
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    weight_col: str | None = None,
+    reliable_checkpoint: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation over the undirected
+    simple graph — the community-detection pass the north-star pipeline
+    names ("GraphFrames-style iterative label propagation"): (id, label)
+    after `iters` rounds, label(v) initialized to v, then each round every
+    node simultaneously adopts the label with the LARGEST total edge weight
+    among its neighbors, ties broken by MINIMUM label. The node's own
+    current label does not vote (classic LPA); every node of the simple
+    graph has >= 1 neighbor by construction, so the argmax is always
+    defined.
+
+    Determinism contract (what makes it SQL-oracle-checkable, unlike
+    textbook randomized-order LPA): synchronous rounds + integer weight
+    sums + the total (score DESC, label ASC) order make the result a pure
+    function of (edge set, weights, iters) — partitioning- and
+    join-order-free. Synchronous LPA can oscillate on bipartite-ish
+    structure instead of converging; `iters` is therefore part of the
+    contract (fixed-round feature semantics), not a convergence knob.
+
+    weight_col=None counts parallel input edges as corroboration: the
+    undirected pair weight is the number of input rows collapsing onto it
+    (both directions). With weight_col, weights are summed per undirected
+    pair instead.
+
+    Scale shape: the weighted adjacency is built once (one aggregation) and
+    checkpointed; each round is one equi-join (adjacency ⋈ labels on the
+    neighbor key) + one (id, label) aggregation + one per-id window argmax —
+    three exchanges, all keyed by node id, no quadratic blowup anywhere
+    (a hub's votes are |deg| rows, same as its adjacency). Lineage truncated
+    per `checkpoint_every` rounds like pagerank_fixed.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    a, b = F.least("src", "dst"), F.greatest("src", "dst")
+    if weight_col is None:
+        und = (
+            edges.select(a.alias("a"), b.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+    else:
+        und = (
+            edges.select(
+                a.alias("a"), b.alias("b"), F.col(weight_col).cast("long").alias("w")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+    adj = _fresh(
+        _truncate_lineage(
+            und.select(F.col("a").alias("id"), F.col("b").alias("nb"), "w").unionAll(
+                und.select(F.col("b").alias("id"), F.col("a").alias("nb"), "w")
+            ),
+            reliable_checkpoint,
+        )
+    )
+    labels = _fresh(
+        _truncate_lineage(
+            adj.select("id").distinct().withColumn("label", F.col("id")),
+            reliable_checkpoint,
+        )
+    )
+    win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("label").asc())
+    for i in range(iters):
+        scores = (
+            adj.join(labels.select(F.col("id").alias("nb"), "label"), "nb")
+            .groupBy("id", "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        labels = (
+            scores.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            labels = _fresh(_truncate_lineage(labels, reliable_checkpoint))
+    return labels
 
 
 def khop_reach_counts_approx(

@@ -598,3 +598,137 @@ def test_weighted_pagerank_partitioning_invariant(spark):
         ).collect()
     }
     assert r1 == r2
+
+
+def _py_bfs(edges, seeds, max_hops):
+    """Reference multi-source BFS (dict-based), same contract as
+    graph.bfs_distances: min hop distance, seeds at 0, <= max_hops."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in set(seeds)}
+    frontier = set(seeds)
+    for i in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = i
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_planted(spark):
+    from docprocai_service_spark.operators.graph import bfs_distances
+
+    rows = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "a"),  # cycle back
+        ("e", "a"),  # e unreachable FROM a (only reaches a)
+        ("d", "d"),  # self-loop must not extend distance
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    for seeds, hops in [(["a"], 3), (["e"], 3), (["a", "d"], 2), (["zz"], 4)]:
+        got = {r.id: r.dist for r in bfs_distances(edges, seeds, hops).collect()}
+        assert got == _py_bfs(rows, seeds, hops), (seeds, hops)
+    # early exit: max_hops far beyond the diameter gives the same answer
+    got = {r.id: r.dist for r in bfs_distances(edges, ["e"], 50).collect()}
+    assert got == _py_bfs(rows, ["e"], 50)
+
+
+def test_bfs_distances_validation(spark):
+    import pytest as _pytest
+
+    from docprocai_service_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        bfs_distances(edges, [], 2)
+    with _pytest.raises(ValueError):
+        bfs_distances(edges, ["a"], -1)
+
+
+def _py_lpa(weighted_edges, iters):
+    """Reference synchronous LPA, same contract as graph.label_propagation:
+    undirected pair weights summed, argmax neighbor-label weight, ties ->
+    min label, node's own label does not vote."""
+    und = {}
+    for s, d, w in weighted_edges:
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        und[k] = und.get(k, 0) + w
+    adj = {}
+    for (x, y), w in und.items():
+        adj.setdefault(x, {})[y] = w
+        adj.setdefault(y, {})[x] = w
+    label = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in adj.items():
+            score = {}
+            for u, w in nbrs.items():
+                score[label[u]] = score.get(label[u], 0) + w
+            nxt[v] = min(l for l in score if score[l] == max(score.values()))
+        label = nxt
+    return label
+
+
+def test_label_propagation_matches_reference(spark):
+    from docprocai_service_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: communities must separate
+    tri = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+           ("x", "y", 1), ("x", "z", 1), ("y", "z", 1), ("c", "x", 1)]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d, _ in tri], "src string, dst string"
+    )
+    for iters in (1, 2, 4):
+        got = {r.id: r.label for r in label_propagation(edges, iters=iters).collect()}
+        assert got == _py_lpa(tri, iters), iters
+    final = {r.id: r.label for r in label_propagation(edges, iters=4).collect()}
+    assert len({final["a"], final["x"]}) == 2  # two communities
+    assert final["a"] == final["b"] == final["c"]
+    assert final["x"] == final["y"] == final["z"]
+
+
+def test_label_propagation_weighted_and_multiplicity(spark):
+    from docprocai_service_spark.operators.graph import label_propagation
+
+    # heavy bridge drags the bridge node into the other community;
+    # also checks weight_col=None counting parallel edges as weight
+    wtri = [("a", "b", 2), ("a", "c", 2), ("b", "c", 2),
+            ("x", "y", 1), ("c", "x", 9)]
+    edges_w = spark.createDataFrame(wtri, "src string, dst string, weight long")
+    got_w = {
+        r.id: r.label
+        for r in label_propagation(edges_w, iters=3, weight_col="weight").collect()
+    }
+    assert got_w == _py_lpa(wtri, 3)
+    # multiplicity path: replicate each row `weight` times, weight_col=None
+    flat = [(s, d) for s, d, w in wtri for _ in range(w)]
+    edges_m = spark.createDataFrame(flat, "src string, dst string")
+    got_m = {r.id: r.label for r in label_propagation(edges_m, iters=3).collect()}
+    assert got_m == got_w
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from docprocai_service_spark.operators.graph import label_propagation
+
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "d", 2), ("c", "d", 5),
+            ("d", "e", 1), ("e", "a", 4)]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight long")
+    r1 = {
+        r.id: r.label
+        for r in label_propagation(edges, iters=5, weight_col="weight").collect()
+    }
+    r2 = {
+        r.id: r.label
+        for r in label_propagation(
+            edges.repartition(13), iters=5, weight_col="weight", checkpoint_every=2
+        ).collect()
+    }
+    assert r1 == r2 == _py_lpa(rows, 5)
