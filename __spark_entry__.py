@@ -940,28 +940,15 @@ def _bfs_oracle_sql(seeds: list[str], max_hops: int) -> str:
     """
 
 
-def _lpa_oracle_sql(iters: int) -> str:
-    """Unrolled-round DuckDB mirror of graph.label_propagation (multiplicity
-    weights): undirected pair weight = raw-row count over both directions,
-    then per round one (id, label) weight-sum + QUALIFY argmax with the same
-    total (score DESC, label ASC) order the Spark window uses. Synchronous
-    rounds + integer sums make the two engines agree bit-for-bit."""
+def _lpa_blocks_sql(iters: int) -> str:
+    """Engine-independent tail of the label-propagation oracle: assumes a
+    CTE `und(a, b, w)` (undirected pair weights, a < b, no self-pairs) is
+    already defined upstream, then emits adj/l0 + one unrolled CTE per
+    synchronous round — a (id, label) weight-sum with a QUALIFY argmax in
+    the same total (score DESC, label ASC) order the Spark window uses.
+    Integer sums make the two engines agree bit-for-bit. Composable after
+    any edge-producing chain (TPC-H graph, the full KG-DAG corpus)."""
     head = """
-        WITH e0 AS (
-          SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          UNION ALL
-          SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
-          UNION ALL
-          SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
-          UNION ALL
-          SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
-        ),
-        und AS (
-          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-                 CAST(count(*) AS BIGINT) AS w
-          FROM e0 WHERE src <> dst GROUP BY 1, 2
-        ),
         adj AS (
           SELECT a AS id, b AS nb, w FROM und
           UNION ALL
@@ -980,6 +967,29 @@ def _lpa_oracle_sql(iters: int) -> str:
                                      ORDER BY sum(adj.w) DESC, l.label ASC) = 1
         )""")
     return head + "".join(blocks) + f"\n        SELECT id, label FROM l{iters}"
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """DuckDB mirror of label_propagation_tpch (multiplicity weights):
+    undirected pair weight = raw-row count over both directions of the
+    TPC-H entity graph, then the unrolled rounds of _lpa_blocks_sql."""
+    return """
+        WITH e0 AS (
+          SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+          UNION ALL
+          SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+          UNION ALL
+          SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        ),
+        und AS (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM e0 WHERE src <> dst GROUP BY 1, 2
+        ),
+    """ + _lpa_blocks_sql(iters)
 
 
 def kg_edges_docs(spark, sf_dir):
@@ -1031,6 +1041,32 @@ def kg_pagerank_docs(spark, sf_dir):
         F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
     )
     return pagerank_fixed(e, iters=4, checkpoint_every=2, weight_col="weight")
+
+
+def kg_communities_docs(spark, sf_dir):
+    """END-TO-END: raw HTML pages → extract → triples → link → canonicalize
+    → weighted edges → synchronous label-propagation COMMUNITIES over the
+    constructed KG — the kg_construct DAG terminating in the community
+    assignment the north-star pipeline names, every stage inside ONE
+    composed DuckDB oracle (the kg_edges_docs chain + _lpa_blocks_sql).
+    Corroboration-weighted: a pair's vote weight is the number of triples
+    asserting it in either direction."""
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.graph import label_propagation
+    from docprocai_service_spark.operators.materialize import edges_table, resolve_entities
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    edges = edges_table(resolve_entities(t, alias, canon))
+    e = edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
+    )
+    return label_propagation(e, iters=4, weight_col="weight")
 
 
 def kg_neighborhood_docs(spark, sf_dir):
@@ -1265,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_docs": kg_linked_docs,
         "kg_edges_docs": kg_edges_docs,
         "kg_pagerank_docs": kg_pagerank_docs,
+        "kg_communities_docs": kg_communities_docs,
         "kg_neighborhood_docs": kg_neighborhood_docs,
         "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
@@ -1958,6 +1995,37 @@ def oracle_sql() -> dict[str, str]:
               FROM resolved GROUP BY src_entity, dst_entity
             ),
         """ + _pagerank_blocks_sql(4, 85, None, True),
+        "kg_communities_docs": _KG_DOCS_ORACLE_BASE + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            ),
+            und AS (
+              SELECT least(src_entity, dst_entity) AS a,
+                     greatest(src_entity, dst_entity) AS b,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM resolved WHERE src_entity <> dst_entity GROUP BY 1, 2
+            ),
+        """ + _lpa_blocks_sql(4),
         "kg_neighborhood_docs": _KG_DOCS_ORACLE_BASE + f"""
             , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
             best AS (
