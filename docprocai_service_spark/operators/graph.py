@@ -19,6 +19,7 @@ connected_components is for.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,7 +35,38 @@ def _fresh(df: DataFrame) -> DataFrame:
     return df.select([F.col(c).alias(c) for c in df.columns])
 
 
-def khop_reach(edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False) -> DataFrame:
+def _pin_by_key(df: DataFrame, key: str, reliable_checkpoint: bool) -> DataFrame:
+    """Materialize a LOOP-INVARIANT join input pinned to hashpartitioning on
+    `key` — the GraphX partitioning strategy, expressed in DataFrames.
+
+    localCheckpoint/checkpoint drop outputPartitioning (the LogicalRDD scan
+    comes back unpartitioned), so an iterative operator that checkpoints its
+    edge list re-shuffles the FULL edge set inside every round's join — and
+    AQE's late broadcast conversion doesn't save it, because the decision
+    happens after the shuffle stage already ran (measured: the executed
+    sf0.1 pagerank round carried `Exchange hashpartitioning(src)` over the
+    600k-pair scan feeding a BroadcastHashJoin). `repartition(key).persist()`
+    instead keeps the partitioning visible through InMemoryTableScan, so
+    every round's join streams the big side with ZERO exchange and ZERO
+    sort (shuffle-hash) — only the small varying side (ranks/labels/
+    frontier) shuffles, O(n) instead of O(m) per round. MEMORY_AND_DISK
+    spills instead of evicting; on block loss the lineage recomputes.
+    reliable_checkpoint=True additionally cuts the upstream lineage to the
+    checkpoint dir first (executor-loss contract, same as the rounds).
+    Callers unpersist() after the loop's last round is materialized."""
+    if reliable_checkpoint:
+        df = _truncate_lineage(df, True)
+    pinned = df.repartition(F.col(key)).persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    return pinned
+
+
+def khop_reach(
+    edges: DataFrame,
+    k: int = 2,
+    reliable_checkpoint: bool = False,
+    pin_edges: bool = False,
+) -> DataFrame:
     """Directed reach pairs: (src, dst) such that dst is reachable from src
     in 1..k hops. Self-pairs are ALWAYS excluded — the extension join filters
     src != dst too, so a cycle back to the start node does not produce
@@ -54,23 +86,33 @@ def khop_reach(edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False) 
     # reliable_checkpoint=True writes round outputs to the configured
     # checkpoint dir (HDFS/S3 on a cluster) so an executor loss mid-iteration
     # cannot kill the job — same contract as connected_components.
-    # The deduped edge set is checkpointed ONCE and reused every round (the
-    # pre-round-5 shape re-ran the scan+distinct shuffle inside each round's
-    # job); _fresh re-aliases each checkpointed plan because localCheckpoint
+    # The deduped edge set is checkpointed ONCE and reused every round;
+    # _fresh re-aliases each checkpointed plan because localCheckpoint
     # preserves attribute ids, and joining/unioning two checkpoints that
     # share exprIds trips Catalyst's union constraint rewrite.
-    pairs = _fresh(
-        _truncate_lineage(
-            edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
-            reliable_checkpoint,
-        )
+    #
+    # pin_edges: pins the edge set to hashpartitioning(src) via
+    # repartition+persist so the extension join never re-shuffles it — only
+    # the frontier moves per round (the GraphX strategy). Default OFF: an
+    # interleaved sf0.1 A/B measured the pinned shape ~1.7x SLOWER in
+    # local[32] (cache fill + per-round columnar decode outweigh a shuffle
+    # that is memory-speed in one JVM); on a real cluster, where the saved
+    # exchange is O(m) NETWORK movement per round, turn it on when frontiers
+    # stay edge-sized for many rounds (neither join side is ever
+    # broadcastable here, unlike pagerank's rank vector).
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    pinned = _pin_by_key(base, "src", reliable_checkpoint) if pin_edges else None
+    pairs = _fresh(pinned) if pin_edges else _fresh(
+        _truncate_lineage(base, reliable_checkpoint)
     )
     reach = pairs
     frontier = pairs
     for _ in range(1, k):
+        fr = frontier.alias("r")
+        if pin_edges:
+            fr = fr.hint("shuffle_hash")  # keep the pinned side sort-free
         ext = (
-            frontier.alias("r")
-            .join(pairs.alias("e"), F.col("r.dst") == F.col("e.src"))
+            fr.join(pairs.alias("e"), F.col("r.dst") == F.col("e.src"))
             .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
@@ -83,6 +125,10 @@ def khop_reach(edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False) 
         if frontier.isEmpty():
             break
         reach = _fresh(_truncate_lineage(reach.union(frontier), reliable_checkpoint))
+    if pinned is not None:
+        if reach is pairs:  # k == 1 or round 1 drained: detach from the cache
+            reach = _fresh(_truncate_lineage(pairs, reliable_checkpoint))
+        pinned.unpersist()
     return reach
 
 
@@ -102,6 +148,7 @@ def pagerank_fixed(
     checkpoint_every: int = 1,
     seeds: list[str] | None = None,
     weight_col: str | None = None,
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank over directed (src, dst) edges.
 
@@ -146,6 +193,14 @@ def pagerank_fixed(
     the safe setting; every 2-3 rounds trades a deeper plan for fewer
     barrier jobs (measured ~11% faster at sf0.1 with 3). The RESULT is
     cadence-independent — the integer arithmetic is exact either way.
+
+    broadcast_nodes: node-count threshold selecting the per-iteration join
+    strategy (the RESULT is identical either side of it — integer math is
+    partitioning-free). At or below it the rank vector is statically
+    broadcast (zero join exchanges per round; ~50 MB of broadcast per 2M
+    nodes); above it the edge list is pinned to hashpartitioning(src) via
+    repartition+persist so only the O(n) rank vector shuffles per round
+    (the GraphX strategy — never the O(m) edges).
     """
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
@@ -180,27 +235,41 @@ def pagerank_fixed(
         # empty edge set: no nodes, no ranks — an empty result, not a
         # ZeroDivisionError (ADVICE r4)
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    # n is known driver-side, so the per-iteration join strategy is chosen
+    # EXPLICITLY instead of left to AQE (whose broadcast conversion runs
+    # only after the iteration's shuffle stage already moved the full edge
+    # list — measured: `Exchange hashpartitioning(src)` over the 600k-pair
+    # scan feeding a BroadcastHashJoin, every round):
+    #   * rank vector fits a broadcast (n <= broadcast_nodes): keep the
+    #     edge list as a plain checkpoint and statically broadcast the
+    #     ranks — ZERO exchange on either join side per iteration; only the
+    #     contribution aggregation shuffles (its map-side partials reduce
+    #     O(m) rows to O(n) before moving). An interleaved sf0.1 A/B
+    #     measured the AQE-late-broadcast shape ~40% slower than this.
+    #   * n beyond broadcast (web-scale): pin the edge list to
+    #     hashpartitioning(src) (_pin_by_key) so the O(m) side never moves
+    #     and only the O(n) rank vector shuffles per round — the GraphX
+    #     partitioning strategy; shuffle_hash keeps the cached side
+    #     sort-free.
+    small_n = n <= broadcast_nodes
     # The per-edge contribution denominator (outdeg(u), or total out-weight
     # W_out(u) in weighted mode) is LOOP-INVARIANT — fold it into the edge
     # list ONCE (VERDICT r4 #1: re-deriving it inside every iteration's plan
-    # cost one extra aggregation + join shuffle per round). Each iteration
-    # below is exactly one join + one agg.
+    # cost one extra aggregation + join shuffle per round).
     if weight_col is None:
-        deg_pairs = _truncate_lineage(
-            pairs.join(
-                pairs.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg")), "src"
-            ),
-            reliable_checkpoint,
+        deg_pairs_plan = pairs.join(
+            pairs.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg")), "src"
         )
         contrib_expr = f"(rank * {damping_pct}) DIV (outdeg * 100)"
     else:
-        deg_pairs = _truncate_lineage(
-            pairs.join(
-                pairs.groupBy(F.col("src")).agg(F.sum("w").alias("outw")), "src"
-            ),
-            reliable_checkpoint,
+        deg_pairs_plan = pairs.join(
+            pairs.groupBy(F.col("src")).agg(F.sum("w").alias("outw")), "src"
         )
         contrib_expr = f"((rank * {damping_pct}) DIV 100) * w DIV outw"
+    if small_n:
+        deg_pairs = _truncate_lineage(deg_pairs_plan, reliable_checkpoint)
+    else:
+        deg_pairs = _pin_by_key(deg_pairs_plan, "src", reliable_checkpoint)
     if seeds is None:
         base_col = F.lit(((100 - damping_pct) * PR_SCALE // 100) // n).cast("long")
         init_col = F.lit(PR_SCALE // n).cast("long")
@@ -223,8 +292,12 @@ def pagerank_fixed(
         )
     ranks = nodes.withColumn("rank", init_col)
     for i in range(iters):
+        rank_side = ranks.withColumnRenamed("id", "src")
+        rank_side = (
+            F.broadcast(rank_side) if small_n else rank_side.hint("shuffle_hash")
+        )
         contrib = (
-            deg_pairs.join(ranks.withColumnRenamed("id", "src"), "src")
+            deg_pairs.join(rank_side, "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr(contrib_expr).alias("c"),
@@ -232,8 +305,11 @@ def pagerank_fixed(
             .groupBy("id")
             .agg(F.sum("c").cast("long").alias("c"))
         )
+        contrib_side = (
+            F.broadcast(contrib) if small_n else contrib.hint("shuffle_hash")
+        )
         ranks = (
-            nodes.join(contrib, "id", "left")
+            nodes.join(contrib_side, "id", "left")
             .select(
                 "id",
                 (base_col + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
@@ -241,11 +317,16 @@ def pagerank_fixed(
         )
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             ranks = _truncate_lineage(ranks, reliable_checkpoint)
+    if not small_n:
+        deg_pairs.unpersist()
     return ranks
 
 
 def khop_reach_counts(
-    edges: DataFrame, k: int = 2, reliable_checkpoint: bool = False
+    edges: DataFrame,
+    k: int = 2,
+    reliable_checkpoint: bool = False,
+    pin_edges: bool = False,
 ) -> DataFrame:
     """(id, n_reach): number of DISTINCT nodes reachable from id in <= k
     hops — the neighborhood-size feature column. Exact (integer) semantics,
@@ -254,7 +335,9 @@ def khop_reach_counts(
     feature contract, O(n·avg_deg^k) on hub graphs beyond it; the
     bounded-memory scale path for counts is khop_reach_counts_approx."""
     return (
-        khop_reach(edges, k=k, reliable_checkpoint=reliable_checkpoint)
+        khop_reach(
+            edges, k=k, reliable_checkpoint=reliable_checkpoint, pin_edges=pin_edges
+        )
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_reach"))
     )
@@ -446,6 +529,7 @@ def bfs_distances(
     seeds: list[str],
     max_hops: int = 3,
     reliable_checkpoint: bool = False,
+    broadcast_frontier: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source BFS hop distances: (id, dist) for every node reachable
     from ANY seed in <= max_hops directed hops, dist = MINIMUM hop count
@@ -482,18 +566,29 @@ def bfs_distances(
         [(s, 0) for s in sorted(set(seeds))], "id string, dist int"
     )
     frontier = visited.select("id")
+    # The frontier's exact size is known each round (the checkpoint makes
+    # counting it free), so the extension join's strategy is chosen
+    # explicitly: a broadcastable frontier means the O(m) edge side never
+    # shuffles — for the seeded-proximity contract (|seeds| small, few hops)
+    # every round stays broadcast and the edge list is only ever STREAMED.
+    # A frontier beyond the threshold falls back to the plain shuffle join
+    # (both sides move — the khop_reach regime; see its pin_edges note).
+    n_frontier = len(set(seeds))
     for i in range(1, max_hops + 1):
+        f = frontier.alias("f")
+        if n_frontier <= broadcast_frontier:
+            f = F.broadcast(f)
         nxt = _fresh(
             _truncate_lineage(
-                frontier.alias("f")
-                .join(pairs.alias("e"), F.col("f.id") == F.col("e.src"))
+                f.join(pairs.alias("e"), F.col("f.id") == F.col("e.src"))
                 .select(F.col("e.dst").alias("id"))
                 .distinct()
                 .join(visited, "id", "left_anti"),
                 reliable_checkpoint,
             )
         )
-        if nxt.isEmpty():
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         visited = _fresh(
             _truncate_lineage(
@@ -511,6 +606,7 @@ def label_propagation(
     weight_col: str | None = None,
     reliable_checkpoint: bool = False,
     checkpoint_every: int = 1,
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation over the undirected
     simple graph — the community-detection pass the north-star pipeline
@@ -563,24 +659,42 @@ def label_propagation(
             .groupBy("a", "b")
             .agg(F.sum("w").alias("w"))
         )
-    adj = _fresh(
-        _truncate_lineage(
-            und.select(F.col("a").alias("id"), F.col("b").alias("nb"), "w").unionAll(
-                und.select(F.col("b").alias("id"), F.col("a").alias("nb"), "w")
-            ),
-            reliable_checkpoint,
-        )
+    # The weighted adjacency is loop-invariant. The label vector is O(n) and
+    # n is known after the init checkpoint, so the vote join's strategy is
+    # chosen explicitly (same rationale + A/B as pagerank_fixed): a
+    # broadcastable label vector means the O(m) adjacency never shuffles —
+    # it is only streamed; beyond the threshold the adjacency is pinned to
+    # hashpartitioning(nb) (_pin_by_key) so only the label vector moves per
+    # round, never the edges.
+    adj_plan = und.select(F.col("a").alias("id"), F.col("b").alias("nb"), "w").unionAll(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nb"), "w")
     )
+    pinned = None
+    adj = _fresh(_truncate_lineage(adj_plan, reliable_checkpoint))
     labels = _fresh(
         _truncate_lineage(
             adj.select("id").distinct().withColumn("label", F.col("id")),
             reliable_checkpoint,
         )
     )
+    small_n = labels.count() <= broadcast_nodes
+    if not small_n:
+        # re-read the checkpointed adjacency (no re-derivation), pinned
+        pinned = _pin_by_key(adj, "nb", False)
+        adj = _fresh(pinned)
     win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("label").asc())
     for i in range(iters):
+        # The (id, label) aggregation keeps its own shuffle on purpose:
+        # map-side partials bound a hub's vote rows before they move, so the
+        # per-id window sees at most (distinct labels per id) rows — the
+        # hub-safe shape. Collapsing agg+window onto one id-shuffle would
+        # move every raw vote of a hub into one partition.
+        label_side = labels.select(F.col("id").alias("nb"), "label")
+        label_side = (
+            F.broadcast(label_side) if small_n else label_side.hint("shuffle_hash")
+        )
         scores = (
-            adj.join(labels.select(F.col("id").alias("nb"), "label"), "nb")
+            adj.join(label_side, "nb")
             .groupBy("id", "label")
             .agg(F.sum("w").alias("s"))
         )
@@ -591,6 +705,8 @@ def label_propagation(
         )
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             labels = _fresh(_truncate_lineage(labels, reliable_checkpoint))
+    if pinned is not None:
+        pinned.unpersist()
     return labels
 
 
@@ -599,6 +715,7 @@ def khop_reach_counts_approx(
     k: int = 2,
     lg_config_k: int = 12,
     reliable_checkpoint: bool = False,
+    pin_edges: bool = False,
 ) -> DataFrame:
     """(id, n_reach_approx): HLL-sketch estimate of the <=k-hop reach size —
     the SCALE path for khop_reach_counts (VERDICT r4 #2).
@@ -624,9 +741,17 @@ def khop_reach_counts_approx(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    pairs = _truncate_lineage(
-        edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
-        reliable_checkpoint,
+    # pin_edges: pins the loop-invariant edge set to hashpartitioning(dst) —
+    # the per-hop sketch-merge join's key — so no hop re-shuffles it. Same
+    # measured local-mode trade as khop_reach's knob (default OFF; turn on
+    # when the saved exchange is real network movement and k is large —
+    # neither side is broadcastable here: the sketch table is O(n · 2^lgK)
+    # bytes).
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    pairs = (
+        _pin_by_key(base, "dst", reliable_checkpoint)
+        if pin_edges
+        else _truncate_lineage(base, reliable_checkpoint)
     )
     lgk = F.lit(lg_config_k)
     s = (
@@ -636,8 +761,11 @@ def khop_reach_counts_approx(
     )
     s = _truncate_lineage(s, reliable_checkpoint)
     for _ in range(1, k):
+        sk_side = s.withColumnRenamed("id", "dst")
+        if pin_edges:
+            sk_side = sk_side.hint("shuffle_hash")
         s = _truncate_lineage(
-            pairs.join(s.withColumnRenamed("id", "dst"), "dst", "left")
+            pairs.join(sk_side, "dst", "left")
             .groupBy("src")
             .agg(
                 F.hll_sketch_agg("dst", lgk).alias("a"),  # direct neighbors
@@ -651,6 +779,8 @@ def khop_reach_counts_approx(
             ),
             reliable_checkpoint,
         )
+    if pin_edges:
+        pairs.unpersist()
     return s.select(
         "id", F.hll_sketch_estimate("sk").cast("long").alias("n_reach_approx")
     )

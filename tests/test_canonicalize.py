@@ -732,3 +732,48 @@ def test_label_propagation_partitioning_invariant(spark):
         ).collect()
     }
     assert r1 == r2 == _py_lpa(rows, 5)
+
+
+def test_graph_scale_paths_match_default(spark):
+    """The explicit join-strategy knobs (broadcast vs pinned edge
+    partitioning) must not change any result — integer/set semantics are
+    partitioning-free by contract. Exercises the non-default branch of
+    every size-aware iterative operator."""
+    from docprocai_service_spark.operators.graph import (
+        bfs_distances,
+        khop_reach_counts,
+        label_propagation,
+        pagerank_fixed,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+            ("e", "b"), ("a", "d"), ("b", "d")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+
+    pr_b = {r.id: r.rank for r in pagerank_fixed(edges, iters=5).collect()}
+    pr_p = {
+        r.id: r.rank
+        for r in pagerank_fixed(edges, iters=5, broadcast_nodes=0).collect()
+    }
+    assert pr_b == pr_p
+
+    lp_b = {r.id: r.label for r in label_propagation(edges, iters=3).collect()}
+    lp_p = {
+        r.id: r.label
+        for r in label_propagation(edges, iters=3, broadcast_nodes=0).collect()
+    }
+    assert lp_b == lp_p
+
+    kh_d = {r.id: r.n_reach for r in khop_reach_counts(edges, k=3).collect()}
+    kh_p = {
+        r.id: r.n_reach
+        for r in khop_reach_counts(edges, k=3, pin_edges=True).collect()
+    }
+    assert kh_d == kh_p
+
+    bf_b = {r.id: r.dist for r in bfs_distances(edges, ["a"], 3).collect()}
+    bf_s = {
+        r.id: r.dist
+        for r in bfs_distances(edges, ["a"], 3, broadcast_frontier=0).collect()
+    }
+    assert bf_b == bf_s
