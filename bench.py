@@ -49,6 +49,11 @@ HEADLINE = [
     "pagerank_tpch",
     # round-5: hub-safe triangle counting (degree-ordered orientation)
     "triangle_counts_tpch",
+    # round-5: seeded BFS proximity + synchronous LPA communities (size-aware
+    # join strategy: rank/label/frontier vector broadcast below 2M nodes,
+    # pinned edge partitioning above — BENCH/BASELINE.md round-5 plan audit)
+    "bfs_distances_tpch",
+    "label_propagation_tpch",
 ]
 
 
