@@ -1069,6 +1069,36 @@ def kg_communities_docs(spark, sf_dir):
     return label_propagation(e, iters=4, weight_col="weight")
 
 
+def kg_components_docs(spark, sf_dir):
+    """END-TO-END: raw HTML pages → extract → triples → link → canonicalize
+    → weighted edges → WEAKLY-CONNECTED COMPONENTS of the constructed KG —
+    the north-star's canonicalization engine (connected_components,
+    operators/canonicalize.py) run as the terminal stage of the full DAG
+    and oracle-checked against a recursive-CTE transitive closure.
+    mode='twophase' pins the DISTRIBUTED large-star/small-star formulation
+    (O(log n) rounds at any diameter) rather than letting auto route the
+    small corpus to the driver union-find — the scale engine is the one
+    under oracle here; the two engines are equality-tested in pytest."""
+    from docprocai_service_spark.operators.canonicalize import (
+        canonicalize_entities,
+        connected_components,
+    )
+    from docprocai_service_spark.operators.materialize import edges_table, resolve_entities
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    edges = edges_table(resolve_entities(t, alias, canon))
+    e = edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst")
+    )
+    return connected_components(e, mode="twophase")
+
+
 def kg_neighborhood_docs(spark, sf_dir):
     """The partition-pruned POINT-QUERY surface, oracle-checked end-to-end:
     construct the KG edges, materialize them bucket(src_entity)-partitioned
@@ -1302,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_docs": kg_edges_docs,
         "kg_pagerank_docs": kg_pagerank_docs,
         "kg_communities_docs": kg_communities_docs,
+        "kg_components_docs": kg_components_docs,
         "kg_neighborhood_docs": kg_neighborhood_docs,
         "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
@@ -2026,6 +2057,61 @@ def oracle_sql() -> dict[str, str]:
               FROM resolved WHERE src_entity <> dst_entity GROUP BY 1, 2
             ),
         """ + _lpa_blocks_sql(4),
+        "kg_components_docs": _KG_DOCS_ORACLE_BASE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            ),
+            -- explicit DISTINCT subqueries: under WITH RECURSIVE, DuckDB
+            -- 1.0 evaluates a non-recursive CTE's UNION as UNION ALL
+            sym AS (
+              SELECT DISTINCT u, v FROM (
+                SELECT src_entity AS u, dst_entity AS v FROM resolved
+                WHERE src_entity <> dst_entity
+                UNION ALL
+                SELECT dst_entity, src_entity FROM resolved
+                WHERE src_entity <> dst_entity
+              )
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            mins AS (SELECT u AS id, MIN(v) AS mv FROM reach GROUP BY u),
+            vx AS (
+              SELECT DISTINCT id FROM (
+                SELECT src_entity AS id FROM resolved
+                UNION ALL
+                SELECT dst_entity FROM resolved
+              )
+            )
+            SELECT vx.id,
+                   CASE WHEN m.mv IS NULL OR vx.id < m.mv THEN vx.id
+                        ELSE m.mv END AS comp
+            FROM vx LEFT JOIN mins m USING (id)
+        """,
         "kg_neighborhood_docs": _KG_DOCS_ORACLE_BASE + f"""
             , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
             best AS (
