@@ -777,3 +777,32 @@ def test_graph_scale_paths_match_default(spark):
         for r in bfs_distances(edges, ["a"], 3, broadcast_frontier=0).collect()
     }
     assert bf_b == bf_s
+
+    # weighted variants through the pinned branch too
+    wedges = spark.createDataFrame(
+        [(s, d, i + 1) for i, (s, d) in enumerate(rows)],
+        "src string, dst string, w long",
+    )
+    wpr_b = {
+        r.id: r.rank
+        for r in pagerank_fixed(wedges, iters=4, weight_col="w").collect()
+    }
+    wpr_p = {
+        r.id: r.rank
+        for r in pagerank_fixed(
+            wedges, iters=4, weight_col="w", broadcast_nodes=0
+        ).collect()
+    }
+    assert wpr_b == wpr_p
+
+    wlp_b = {
+        r.id: r.label
+        for r in label_propagation(wedges, iters=3, weight_col="w").collect()
+    }
+    wlp_p = {
+        r.id: r.label
+        for r in label_propagation(
+            wedges, iters=3, weight_col="w", broadcast_nodes=0
+        ).collect()
+    }
+    assert wlp_b == wlp_p
