@@ -425,6 +425,60 @@ def rebuild_edges(store: StageStore, alias_dict: DataFrame, canon_map: DataFrame
     return out
 
 
+def refresh_graph_features(
+    store: StageStore, pr_iters: int = 6, lpa_iters: int = 4
+) -> dict:
+    """Materialize per-entity graph features — corroboration-weighted
+    PageRank + synchronous-LPA community — from the committed `edges` stage
+    into a bucketed `graph_features` stage, INCREMENTALLY: a no-op when the
+    edge content is unchanged since the last refresh.
+
+    This is the analytics arm of the incremental loop: after every
+    merge_edge_deltas (or rebuild_edges), one call brings the feature table
+    back in sync; between merges, replays cost one fingerprint agg and no
+    compute. Staleness detection reuses the canon_map pattern — the
+    order-free content fingerprint of the edges stage
+    (manifest.content_fingerprint over the edge key + weight) is stamped
+    into the graph_features manifest AFTER the upsert commits, so a crash
+    anywhere re-runs the refresh on replay.
+
+    Crash contract: trivially exact. The feature table is a PURE FUNCTION
+    of the edges table (deterministic integer PageRank, deterministic LPA),
+    and the upsert replaces by entity_id, so any crash schedule converges by
+    recompute; a mid-upsert crash is upsert's own adopted crash state. The
+    entity set is append-only (merges only add pages; rebuild_edges
+    invalidates-then-rewrites and re-enters here via a changed fingerprint),
+    so replace-by-key semantics cannot strand a removed entity's stale row.
+
+    Entities whose only edges are self-loops carry their own id as the
+    community (LPA's simple graph drops self-loops, so they cast no votes).
+    """
+    if not store.is_done("edges"):
+        raise ValueError("edges stage not committed; run a merge first")
+    from ..operators.graph import label_propagation, pagerank_fixed
+
+    edges = store.read("edges")
+    _, fp = content_fingerprint(edges, [*EDGE_KEYS, "weight"])
+    if (
+        store.is_done("graph_features")
+        and store.manifest("graph_features").get("edges_fp") == fp
+    ):
+        return {"refreshed": False, "edges_fp": fp}
+    e = edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
+    )
+    ranks = pagerank_fixed(e, iters=pr_iters, checkpoint_every=3, weight_col="weight")
+    comms = label_propagation(e, iters=lpa_iters, weight_col="weight")
+    feats = ranks.join(comms, "id", "left").select(
+        F.col("id").alias("entity_id"),
+        "rank",
+        F.coalesce("label", F.col("id")).alias("community"),
+    )
+    out = store.upsert("graph_features", feats, keys=["entity_id"])
+    store.annotate("graph_features", {"edges_fp": fp})
+    return {"refreshed": True, "edges_fp": fp, "n_entities": out.count()}
+
+
 def streaming_ingest(
     spark: SparkSession,
     input_dir: str,

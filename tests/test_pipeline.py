@@ -686,3 +686,76 @@ def test_full_dag_batch_settles_prior_ingest_only_links(spark, spark_corpus, tmp
     assert _edges_key(store.read("edges")) == _edges_key(full.edges)
     full.triples.unpersist()
     full.canon_map.unpersist()
+
+
+def _direct_features(spark, store, pr_iters, lpa_iters):
+    from docprocai_service_spark.operators.graph import (
+        label_propagation,
+        pagerank_fixed,
+    )
+
+    e = store.read("edges").select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
+    )
+    ranks = {
+        r.id: r.rank
+        for r in pagerank_fixed(e, iters=pr_iters, weight_col="weight").collect()
+    }
+    comms = {
+        r.id: r.label
+        for r in label_propagation(e, iters=lpa_iters, weight_col="weight").collect()
+    }
+    return {k: (v, comms.get(k, k)) for k, v in ranks.items()}
+
+
+def test_refresh_graph_features_incremental(spark, spark_corpus, tmp_path):
+    """The analytics arm of the incremental loop: graph_features is a pure
+    function of the edges stage — equal to a direct recompute after every
+    merge, a fingerprint no-op between merges, and convergent when the
+    stamp is lost (the crash window between upsert and annotate)."""
+    from docprocai_service_spark.streaming.incremental import refresh_graph_features
+
+    pages, alias = spark_corpus
+    store = StageStore(spark, str(tmp_path / "gfeat"))
+    b1 = pages.limit(100).localCheckpoint()
+    incremental_ingest(spark, b1, store, alias_dict=alias)
+    r1 = refresh_graph_features(store, pr_iters=3, lpa_iters=2)
+    assert r1["refreshed"] is True
+    got1 = {
+        r.entity_id: (r.rank, r.community)
+        for r in store.read("graph_features").collect()
+    }
+    assert got1 == _direct_features(spark, store, 3, 2)
+
+    # unchanged edges: fingerprint short-circuit, no recompute
+    r2 = refresh_graph_features(store, pr_iters=3, lpa_iters=2)
+    assert r2 == {"refreshed": False, "edges_fp": r1["edges_fp"]}
+
+    # second batch changes the edge content: refresh converges to the new set
+    b2 = pages.join(
+        b1.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti"
+    ).localCheckpoint()
+    incremental_ingest(spark, b2, store, alias_dict=alias)
+    r3 = refresh_graph_features(store, pr_iters=3, lpa_iters=2)
+    assert r3["refreshed"] is True and r3["edges_fp"] != r1["edges_fp"]
+    got3 = {
+        r.entity_id: (r.rank, r.community)
+        for r in store.read("graph_features").collect()
+    }
+    assert got3 == _direct_features(spark, store, 3, 2)
+
+    # crash between upsert and stamp: a foreign/missing stamp re-runs the
+    # refresh and converges to the identical table (upsert replaces by key)
+    store.annotate("graph_features", {"edges_fp": "torn"})
+    r4 = refresh_graph_features(store, pr_iters=3, lpa_iters=2)
+    assert r4["refreshed"] is True and r4["edges_fp"] == r3["edges_fp"]
+    got4 = {
+        r.entity_id: (r.rank, r.community)
+        for r in store.read("graph_features").collect()
+    }
+    assert got4 == got3
+
+    # edges stage required
+    empty = StageStore(spark, str(tmp_path / "gfeat_empty"))
+    with pytest.raises(ValueError):
+        refresh_graph_features(empty)
