@@ -846,6 +846,7 @@ def _pagerank_blocks_sql(
     damping_pct: int,
     seeds: list[str] | None = None,
     weighted: bool = False,
+    final_select: bool = True,
 ) -> str:
     """The engine-independent tail of the PageRank oracle: nodes/cnt/outdeg +
     pr0 + the unrolled iteration CTEs + final SELECT, assuming a CTE `e`
@@ -902,7 +903,8 @@ def _pagerank_blocks_sql(
             GROUP BY e.dst
           ) s ON s.id = nd.id
         )""")
-    return head + "".join(blocks) + f"\n        SELECT id, rank FROM pr{iters}"
+    tail = f"\n        SELECT id, rank FROM pr{iters}" if final_select else ""
+    return head + "".join(blocks) + tail
 
 
 _TPCH_EDGE_SET_SQL = """
@@ -940,7 +942,7 @@ def _bfs_oracle_sql(seeds: list[str], max_hops: int) -> str:
     """
 
 
-def _lpa_blocks_sql(iters: int) -> str:
+def _lpa_blocks_sql(iters: int, final_select: bool = True) -> str:
     """Engine-independent tail of the label-propagation oracle: assumes a
     CTE `und(a, b, w)` (undirected pair weights, a < b, no self-pairs) is
     already defined upstream, then emits adj/l0 + one unrolled CTE per
@@ -966,7 +968,8 @@ def _lpa_blocks_sql(iters: int) -> str:
           QUALIFY row_number() OVER (PARTITION BY adj.id
                                      ORDER BY sum(adj.w) DESC, l.label ASC) = 1
         )""")
-    return head + "".join(blocks) + f"\n        SELECT id, label FROM l{iters}"
+    tail = f"\n        SELECT id, label FROM l{iters}" if final_select else ""
+    return head + "".join(blocks) + tail
 
 
 def _lpa_oracle_sql(iters: int) -> str:
@@ -1067,6 +1070,39 @@ def kg_communities_docs(spark, sf_dir):
         F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
     )
     return label_propagation(e, iters=4, weight_col="weight")
+
+
+def kg_features_docs(spark, sf_dir):
+    """END-TO-END: the joint per-entity graph-feature table — (entity_id,
+    rank, community) — from raw HTML through the full kg_construct DAG,
+    in ONE composed DuckDB oracle (corpus chain + unrolled weighted-PR CTEs
+    + unrolled LPA CTEs + the same left-join/coalesce the incremental
+    `refresh_graph_features` stage materializes; this entry is that
+    deliverable's oracle-checked twin, streaming/incremental.py). Entities
+    whose only edges are self-loops carry their own id as community (LPA's
+    simple graph drops self-loops)."""
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.graph import label_propagation, pagerank_fixed
+    from docprocai_service_spark.operators.materialize import edges_table, resolve_entities
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    edges = edges_table(resolve_entities(t, alias, canon)).localCheckpoint()
+    e = edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
+    )
+    ranks = pagerank_fixed(e, iters=4, checkpoint_every=2, weight_col="weight")
+    comms = label_propagation(e, iters=4, weight_col="weight")
+    return ranks.join(comms, "id", "left").select(
+        F.col("id").alias("entity_id"),
+        "rank",
+        F.coalesce("label", F.col("id")).alias("community"),
+    )
 
 
 def kg_components_docs(spark, sf_dir):
@@ -1333,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_docs": kg_pagerank_docs,
         "kg_communities_docs": kg_communities_docs,
         "kg_components_docs": kg_components_docs,
+        "kg_features_docs": kg_features_docs,
         "kg_neighborhood_docs": kg_neighborhood_docs,
         "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
@@ -2026,6 +2063,47 @@ def oracle_sql() -> dict[str, str]:
               FROM resolved GROUP BY src_entity, dst_entity
             ),
         """ + _pagerank_blocks_sql(4, 85, None, True),
+        "kg_features_docs": _KG_DOCS_ORACLE_BASE + f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            ),
+            e AS (
+              SELECT src_entity AS src, dst_entity AS dst,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM resolved GROUP BY src_entity, dst_entity
+            ),
+            und AS (
+              SELECT least(src_entity, dst_entity) AS a,
+                     greatest(src_entity, dst_entity) AS b,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM resolved WHERE src_entity <> dst_entity GROUP BY 1, 2
+            ),
+        """ + _pagerank_blocks_sql(4, 85, None, True, final_select=False) + ","
+        + _lpa_blocks_sql(4, final_select=False) + """
+            SELECT pr.id AS entity_id, pr.rank,
+                   coalesce(l.label, pr.id) AS community
+            FROM pr4 pr LEFT JOIN l4 l ON pr.id = l.id
+        """,
         "kg_communities_docs": _KG_DOCS_ORACLE_BASE + f"""
             , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
             best AS (
