@@ -1554,6 +1554,40 @@ def _kg_alias_values_sql() -> str:
     return ", ".join(f"('{a}', '{e}', {p})" for a, e, p in _KG_ALIAS_ROWS)
 
 
+
+def _kg_resolved_sql() -> str:
+    """Shared oracle fragment for every graph-terminal kg_*_docs oracle:
+    alias dict -> best link (max prior, ties -> min entity_id) -> canonical
+    map (min entity_id per name) -> resolved (src_entity, dst_entity, pred)
+    triples with NIL fallback. Appended directly after _KG_DOCS_ORACLE_BASE;
+    keeping it in ONE place stops the resolution semantics from drifting
+    between oracles (round-5 review finding)."""
+    return f"""
+            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
+            best AS (
+              SELECT alias, entity_id FROM alias_dict
+              QUALIFY row_number() OVER (PARTITION BY alias
+                                         ORDER BY prior DESC, entity_id ASC) = 1
+            ),
+            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
+            canon AS (
+              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
+              FROM names
+            ),
+            resolved AS (
+              SELECT coalesce(cs.canon_id, bs.entity_id,
+                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
+                     coalesce(co.canon_id, bo.entity_id,
+                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
+                     t.pred
+              FROM triples t
+              LEFT JOIN best bs ON lower(t.subj) = bs.alias
+              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
+              LEFT JOIN best bo ON lower(t.obj) = bo.alias
+              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+            ),
+    """
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
@@ -2033,60 +2067,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_entity, dst_entity, pred, CAST(count(*) AS BIGINT) AS weight
             FROM resolved GROUP BY src_entity, dst_entity, pred
         """,
-        "kg_pagerank_docs": _KG_DOCS_ORACLE_BASE + f"""
-            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
-            best AS (
-              SELECT alias, entity_id FROM alias_dict
-              QUALIFY row_number() OVER (PARTITION BY alias
-                                         ORDER BY prior DESC, entity_id ASC) = 1
-            ),
-            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
-            canon AS (
-              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
-              FROM names
-            ),
-            resolved AS (
-              SELECT coalesce(cs.canon_id, bs.entity_id,
-                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
-                     coalesce(co.canon_id, bo.entity_id,
-                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
-                     t.pred
-              FROM triples t
-              LEFT JOIN best bs ON lower(t.subj) = bs.alias
-              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
-              LEFT JOIN best bo ON lower(t.obj) = bo.alias
-              LEFT JOIN canon co ON bo.entity_id = co.entity_id
-            ),
+        "kg_pagerank_docs": _KG_DOCS_ORACLE_BASE + _kg_resolved_sql() + f"""
+
             e AS (
               SELECT src_entity AS src, dst_entity AS dst,
                      CAST(count(*) AS BIGINT) AS w
               FROM resolved GROUP BY src_entity, dst_entity
             ),
         """ + _pagerank_blocks_sql(4, 85, None, True),
-        "kg_features_docs": _KG_DOCS_ORACLE_BASE + f"""
-            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
-            best AS (
-              SELECT alias, entity_id FROM alias_dict
-              QUALIFY row_number() OVER (PARTITION BY alias
-                                         ORDER BY prior DESC, entity_id ASC) = 1
-            ),
-            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
-            canon AS (
-              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
-              FROM names
-            ),
-            resolved AS (
-              SELECT coalesce(cs.canon_id, bs.entity_id,
-                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
-                     coalesce(co.canon_id, bo.entity_id,
-                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
-                     t.pred
-              FROM triples t
-              LEFT JOIN best bs ON lower(t.subj) = bs.alias
-              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
-              LEFT JOIN best bo ON lower(t.obj) = bo.alias
-              LEFT JOIN canon co ON bo.entity_id = co.entity_id
-            ),
+        "kg_features_docs": _KG_DOCS_ORACLE_BASE + _kg_resolved_sql() + f"""
+
             e AS (
               SELECT src_entity AS src, dst_entity AS dst,
                      CAST(count(*) AS BIGINT) AS w
@@ -2104,30 +2094,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.label, pr.id) AS community
             FROM pr4 pr LEFT JOIN l4 l ON pr.id = l.id
         """,
-        "kg_communities_docs": _KG_DOCS_ORACLE_BASE + f"""
-            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
-            best AS (
-              SELECT alias, entity_id FROM alias_dict
-              QUALIFY row_number() OVER (PARTITION BY alias
-                                         ORDER BY prior DESC, entity_id ASC) = 1
-            ),
-            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
-            canon AS (
-              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
-              FROM names
-            ),
-            resolved AS (
-              SELECT coalesce(cs.canon_id, bs.entity_id,
-                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
-                     coalesce(co.canon_id, bo.entity_id,
-                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
-                     t.pred
-              FROM triples t
-              LEFT JOIN best bs ON lower(t.subj) = bs.alias
-              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
-              LEFT JOIN best bo ON lower(t.obj) = bo.alias
-              LEFT JOIN canon co ON bo.entity_id = co.entity_id
-            ),
+        "kg_communities_docs": _KG_DOCS_ORACLE_BASE + _kg_resolved_sql() + f"""
+
             und AS (
               SELECT least(src_entity, dst_entity) AS a,
                      greatest(src_entity, dst_entity) AS b,
@@ -2190,30 +2158,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE m.mv END AS comp
             FROM vx LEFT JOIN mins m USING (id)
         """,
-        "kg_neighborhood_docs": _KG_DOCS_ORACLE_BASE + f"""
-            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
-            best AS (
-              SELECT alias, entity_id FROM alias_dict
-              QUALIFY row_number() OVER (PARTITION BY alias
-                                         ORDER BY prior DESC, entity_id ASC) = 1
-            ),
-            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
-            canon AS (
-              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
-              FROM names
-            ),
-            resolved AS (
-              SELECT coalesce(cs.canon_id, bs.entity_id,
-                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
-                     coalesce(co.canon_id, bo.entity_id,
-                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
-                     t.pred
-              FROM triples t
-              LEFT JOIN best bs ON lower(t.subj) = bs.alias
-              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
-              LEFT JOIN best bo ON lower(t.obj) = bo.alias
-              LEFT JOIN canon co ON bo.entity_id = co.entity_id
-            ),
+        "kg_neighborhood_docs": _KG_DOCS_ORACLE_BASE + _kg_resolved_sql() + f"""
+
             edges_agg AS (
               SELECT src_entity, dst_entity, pred, CAST(count(*) AS BIGINT) AS weight
               FROM resolved GROUP BY src_entity, dst_entity, pred

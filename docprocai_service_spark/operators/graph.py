@@ -235,6 +235,16 @@ def pagerank_fixed(
         # empty edge set: no nodes, no ranks — an empty result, not a
         # ZeroDivisionError (ADVICE r4)
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    if seeds is not None:
+        # validate BEFORE materializing deg_pairs: a mistyped seed must not
+        # strand a pinned O(m) cache with no unpersist path (and the check
+        # only needs the node set anyway)
+        seed_list = sorted(set(seeds))
+        present = nodes.filter(F.col("id").isin(seed_list)).count()
+        if present != len(seed_list):
+            raise ValueError(
+                f"{len(seed_list) - present} seed(s) are not nodes of the edge set"
+            )
     # n is known driver-side, so the per-iteration join strategy is chosen
     # EXPLICITLY instead of left to AQE (whose broadcast conversion runs
     # only after the iteration's shuffle stage already moved the full edge
@@ -274,12 +284,6 @@ def pagerank_fixed(
         base_col = F.lit(((100 - damping_pct) * PR_SCALE // 100) // n).cast("long")
         init_col = F.lit(PR_SCALE // n).cast("long")
     else:
-        seed_list = sorted(set(seeds))
-        present = nodes.filter(F.col("id").isin(seed_list)).count()
-        if present != len(seed_list):
-            raise ValueError(
-                f"{len(seed_list) - present} seed(s) are not nodes of the edge set"
-            )
         s = len(seed_list)
         is_seed = F.col("id").isin(seed_list)
         base_col = (

@@ -443,12 +443,15 @@ def refresh_graph_features(
     anywhere re-runs the refresh on replay.
 
     Crash contract: trivially exact. The feature table is a PURE FUNCTION
-    of the edges table (deterministic integer PageRank, deterministic LPA),
-    and the upsert replaces by entity_id, so any crash schedule converges by
-    recompute; a mid-upsert crash is upsert's own adopted crash state. The
-    entity set is append-only (merges only add pages; rebuild_edges
-    invalidates-then-rewrites and re-enters here via a changed fingerprint),
-    so replace-by-key semantics cannot strand a removed entity's stale row.
+    of the edges table (deterministic integer PageRank, deterministic LPA)
+    and every refresh is a FULL recompute, so the stage is invalidated
+    before the rewrite — exactly like rebuild_edges — because the entity
+    set is NOT append-only on every path: an alias-dict change routes
+    through rebuild_edges, which can merge entities away, and replace-by-key
+    upsert semantics would strand the vanished entity's stale feature row.
+    A crash between invalidate and upsert leaves the stage not-done, which
+    replay treats as a fresh refresh; a mid-upsert crash is upsert's own
+    adopted crash state; a lost stamp re-runs one refresh.
 
     Entities whose only edges are self-loops carry their own id as the
     community (LPA's simple graph drops self-loops, so they cast no votes).
@@ -474,6 +477,7 @@ def refresh_graph_features(
         "rank",
         F.coalesce("label", F.col("id")).alias("community"),
     )
+    store.invalidate("graph_features")
     out = store.upsert("graph_features", feats, keys=["entity_id"])
     store.annotate("graph_features", {"edges_fp": fp})
     return {"refreshed": True, "edges_fp": fp, "n_entities": out.count()}

@@ -19,7 +19,7 @@ from __future__ import annotations
 import random
 from collections import Counter
 
-PR_SCALE = 1_000_000_000_000
+from docprocai_service_spark.operators.graph import PR_SCALE
 
 
 def _rand_graph(rng: random.Random) -> list[tuple[str, str]]:

@@ -755,6 +755,22 @@ def test_refresh_graph_features_incremental(spark, spark_corpus, tmp_path):
     }
     assert got4 == got3
 
+    # entity-set SHRINK (the rebuild_edges-with-new-canon path): a stale
+    # feature row for an entity no longer in the edges stage must NOT
+    # survive the refresh — the stage is invalidated, not merged into
+    ghost = spark.createDataFrame(
+        [("GHOST:merged-away", 0, "GHOST:merged-away")],
+        "entity_id string, rank long, community string",
+    )
+    store.upsert("graph_features", ghost, keys=["entity_id"])
+    store.annotate("graph_features", {"edges_fp": "torn-again"})
+    refresh_graph_features(store, pr_iters=3, lpa_iters=2)
+    got5 = {
+        r.entity_id: (r.rank, r.community)
+        for r in store.read("graph_features").collect()
+    }
+    assert got5 == got3  # ghost purged, everything else identical
+
     # edges stage required
     empty = StageStore(spark, str(tmp_path / "gfeat_empty"))
     with pytest.raises(ValueError):
