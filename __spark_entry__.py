@@ -1105,6 +1105,33 @@ def kg_features_docs(spark, sf_dir):
     )
 
 
+def kg_bfs_docs(spark, sf_dir):
+    """END-TO-END: multi-source BFS hop distances from two canonical seed
+    entities (E000, E103) over the constructed KG — the seeded proximity
+    tier (graph.bfs_distances) as the terminal stage of the full DAG,
+    oracle-checked via a recursive CTE over the resolved edges (min(dist)
+    per node within 3 hops, seeds at 0). Complements kg_neighborhood_docs:
+    that entry pins the partition-pruned point-query READ over the
+    materialized table; this one pins the in-memory BFS operator's
+    distances on the same graph."""
+    from docprocai_service_spark.operators.canonicalize import canonicalize_entities
+    from docprocai_service_spark.operators.graph import bfs_distances
+    from docprocai_service_spark.operators.materialize import edges_table, resolve_entities
+    from docprocai_service_spark.operators.triples import fused_triples_stage
+
+    t = fused_triples_stage(_kg_pages_from_documents(spark, sf_dir))
+    alias = _kg_alias_df(spark)
+    names = alias.groupBy("entity_id").agg(
+        F.max_by("alias", F.length("alias")).alias("name")
+    )
+    canon = canonicalize_entities(names, threshold=0.7)
+    edges = edges_table(resolve_entities(t, alias, canon))
+    e = edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst")
+    )
+    return bfs_distances(e, seeds=["E000", "E103"], max_hops=3)
+
+
 def kg_components_docs(spark, sf_dir):
     """END-TO-END: raw HTML pages → extract → triples → link → canonicalize
     → weighted edges → WEAKLY-CONNECTED COMPONENTS of the constructed KG —
@@ -1370,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities_docs": kg_communities_docs,
         "kg_components_docs": kg_components_docs,
         "kg_features_docs": kg_features_docs,
+        "kg_bfs_docs": kg_bfs_docs,
         "kg_neighborhood_docs": kg_neighborhood_docs,
         "kg_entities_docs": kg_entities_docs,
         "khop_reach_tpch": khop_reach_tpch,
@@ -2103,32 +2131,26 @@ def oracle_sql() -> dict[str, str]:
               FROM resolved WHERE src_entity <> dst_entity GROUP BY 1, 2
             ),
         """ + _lpa_blocks_sql(4),
+        "kg_bfs_docs": _KG_DOCS_ORACLE_BASE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + _kg_resolved_sql() + """
+            es AS (
+              SELECT DISTINCT src_entity AS src, dst_entity AS dst
+              FROM resolved
+            ),
+            walk(id, dist) AS (
+              SELECT * FROM (VALUES ('E000', 0), ('E103', 0)) v(id, dist)
+              UNION
+              SELECT es.dst, walk.dist + 1
+              FROM walk JOIN es ON walk.id = es.src
+              WHERE walk.dist < 3
+            )
+            SELECT id, CAST(min(dist) AS INTEGER) AS dist
+            FROM walk GROUP BY id
+        """,
         "kg_components_docs": _KG_DOCS_ORACLE_BASE.replace(
             "WITH ", "WITH RECURSIVE ", 1
-        ) + f"""
-            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
-            best AS (
-              SELECT alias, entity_id FROM alias_dict
-              QUALIFY row_number() OVER (PARTITION BY alias
-                                         ORDER BY prior DESC, entity_id ASC) = 1
-            ),
-            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
-            canon AS (
-              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
-              FROM names
-            ),
-            resolved AS (
-              SELECT coalesce(cs.canon_id, bs.entity_id,
-                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
-                     coalesce(co.canon_id, bo.entity_id,
-                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
-                     t.pred
-              FROM triples t
-              LEFT JOIN best bs ON lower(t.subj) = bs.alias
-              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
-              LEFT JOIN best bo ON lower(t.obj) = bo.alias
-              LEFT JOIN canon co ON bo.entity_id = co.entity_id
-            ),
+        ) + _kg_resolved_sql() + f"""
             -- explicit DISTINCT subqueries: under WITH RECURSIVE, DuckDB
             -- 1.0 evaluates a non-recursive CTE's UNION as UNION ALL
             sym AS (
