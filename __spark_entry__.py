@@ -2068,32 +2068,13 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN (SELECT id, count(*) AS c FROM member GROUP BY id) m
               USING (id)
         """,
-        "kg_edges_docs": _KG_DOCS_ORACLE_BASE + f"""
-            , alias_dict(alias, entity_id, prior) AS (VALUES {_kg_alias_values_sql()}),
-            best AS (
-              SELECT alias, entity_id FROM alias_dict
-              QUALIFY row_number() OVER (PARTITION BY alias
-                                         ORDER BY prior DESC, entity_id ASC) = 1
-            ),
-            names AS (SELECT entity_id, max(alias) AS name FROM alias_dict GROUP BY entity_id),
-            canon AS (
-              SELECT entity_id, min(entity_id) OVER (PARTITION BY name) AS canon_id
-              FROM names
-            ),
-            resolved AS (
-              SELECT coalesce(cs.canon_id, bs.entity_id,
-                              'NIL:' || sha256(lower(t.subj))) AS src_entity,
-                     coalesce(co.canon_id, bo.entity_id,
-                              'NIL:' || sha256(lower(t.obj))) AS dst_entity,
-                     t.pred
-              FROM triples t
-              LEFT JOIN best bs ON lower(t.subj) = bs.alias
-              LEFT JOIN canon cs ON bs.entity_id = cs.entity_id
-              LEFT JOIN best bo ON lower(t.obj) = bo.alias
-              LEFT JOIN canon co ON bo.entity_id = co.entity_id
+        "kg_edges_docs": _KG_DOCS_ORACLE_BASE + _kg_resolved_sql() + """
+            edges_agg AS (
+              SELECT src_entity, dst_entity, pred,
+                     CAST(count(*) AS BIGINT) AS weight
+              FROM resolved GROUP BY src_entity, dst_entity, pred
             )
-            SELECT src_entity, dst_entity, pred, CAST(count(*) AS BIGINT) AS weight
-            FROM resolved GROUP BY src_entity, dst_entity, pred
+            SELECT * FROM edges_agg
         """,
         "kg_pagerank_docs": _KG_DOCS_ORACLE_BASE + _kg_resolved_sql() + f"""
 
