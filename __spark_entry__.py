@@ -94,16 +94,6 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
-def top_events(spark, sf_dir):
-    """Global deterministic top-k → TakeOrderedAndProject (§2.6)."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.select("event_id", "event_type", F.col("value").cast("double").alias("value"))
-        .orderBy(F.desc("value"), F.asc("event_id"))
-        .limit(20)
-    )
-
-
 def min_order_per_customer(spark, sf_dir):
     """MIN-per-group collapse — the reference's per-assessment MIN
     (persistence/SegmentDbConnector.py:246-254) shape (§2.4)."""
@@ -114,39 +104,16 @@ def min_order_per_customer(spark, sf_dir):
     )
 
 
-def segment_union(spark, sf_dir):
-    """Outer-union of heterogeneous schemas with source discriminator — the
-    correct translation of the reference's 3-way NATURAL FULL JOIN (§2.7)."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_acctbal").cast("double").alias("acctbal"),
-        F.col("c_mktsegment").alias("mktsegment"),
-        F.lit("customer").alias("source"),
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("id"),
-        F.col("s_name").alias("name"),
-        F.col("s_nationkey").alias("nationkey"),
-        F.col("s_acctbal").cast("double").alias("acctbal"),
-        F.lit("supplier").alias("source"),
-    )
-    return c.unionByName(s, allowMissingColumns=True)
-
-
 def customers_without_orders(spark, sf_dir):
-    """Anti-join (NOT EXISTS) — resume/existence-check building block (§2.3)."""
+    """Anti-join (NOT EXISTS) — resume/existence-check building block (§2.3).
+    Its semi-join twin (EXISTS) is pinned by cosine_near_dup_bucketed's
+    left_semi hit-count join and the outer-union shape (the reference's
+    3-way NATURAL FULL JOIN) by semantic_search_full's union — the retired
+    customers_with_orders / segment_union demo entries (round 6, VERDICT r5
+    budget consolidation)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-def customers_with_orders(spark, sf_dir):
-    """Semi-join (EXISTS / IN-list whitelist pushdown, §2.2)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
 def top3_orders_per_customer(spark, sf_dir):
@@ -160,34 +127,31 @@ def top3_orders_per_customer(spark, sf_dir):
     )
 
 
-def event_type_sequence(spark, sf_dir):
-    """Ordered string-agg per group — transcript concat analog
-    (fileextractlib/VideoProcessor.py:131) (§2.4)."""
+def event_sequences(spark, sf_dir):
+    """Ordered string-aggs per group — transcript concat analog
+    (fileextractlib/VideoProcessor.py:131) (§2.4). One entry, two ordered
+    collapse shapes (round-6 merge of event_type_sequence +
+    event_transcript_timeordered, VERDICT r5 budget consolidation):
+    `type_seq` sorts by VALUE, `transcript` by EVENT TIME (struct-sorted
+    collect_list — playback order, the reference's concatenation order)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id").agg(
-        F.array_join(F.array_sort(F.collect_list("event_type")), " ").alias("type_seq")
+    time_ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
     )
-
-
-def sessionize_events(spark, sf_dir):
-    """Session windows (30-min gap) via lag+cumsum — the reference's stateful
-    ordered video segmentation shape (fileextractlib/VideoProcessor.py:92-174)
-    as a declarative window plan (§2.5)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap > 1800, 1).otherwise(0)
-    return (
-        e.withColumn("new_sess", F.coalesce(new_sess, F.lit(0)))
-        .groupBy("user_id")
-        .agg((F.sum("new_sess") + 1).cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), " ").alias("type_seq"),
+        F.array_join(time_ordered, " ").alias("transcript"),
     )
 
 
 def sessionize_events_dynamic(spark, sf_dir):
     """Dynamic-gap sessionization — the reference's content-dependent segment
     boundary (similarity < θ AND elapsed ≥ min, VideoProcessor.py:92-174)
-    as lag + cumsum with a data-dependent predicate (§2.5)."""
+    as lag + cumsum with a data-dependent predicate (§2.5). The fixed-gap
+    special case (retired sessionize_events entry, round 6) is this same
+    lag+cumsum plan with a constant predicate; streaming/sessions.py tests
+    pin it batch + streaming."""
     from docprocai_service_spark.streaming.sessions import dynamic_sessionize
 
     e = _t(spark, sf_dir, "events")
@@ -198,17 +162,6 @@ def sessionize_events_dynamic(spark, sf_dir):
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
     )
-
-
-def event_transcript_timeordered(spark, sf_dir):
-    """Transcript string-agg in EVENT-TIME order (VideoProcessor.py:131
-    concatenates in playback order) — struct-sorted collect_list (§2.4)."""
-    e = _t(spark, sf_dir, "events")
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-        lambda x: x["event_type"],
-    )
-    return e.groupBy("user_id").agg(F.array_join(ordered, " ").alias("transcript"))
 
 
 def events_daily_cube(spark, sf_dir):
@@ -234,13 +187,6 @@ def hourly_event_stats(spark, sf_dir):
             "sum_value",
         )
     )
-
-
-def json_props_sum(spark, sf_dir):
-    """JSON parse scalar function (§2.8 — reference LLM IO JSON handling)."""
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n"))
 
 
 def brand_revenue_broadcast(spark, sf_dir):
@@ -333,17 +279,6 @@ def semantic_search_full(spark, sf_dir):
         united, q, k=15, whitelist=_SS_WHITELIST, exclude_parent="src1"
     )
     return out.select("id", "parent_id", "source", F.round("score", 4).alias("score"))
-
-
-def data_uri_docs(spark, sf_dir):
-    """base64 data-URI scalar (§2.8, reference dto/mapper.py:21,34) —
-    pure-JVM concat+base64."""
-    from docprocai_service_spark.functions.encoding import data_uri
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", data_uri(F.col("text"), mime="text/plain").alias("uri")
-    )
 
 
 def tags_tfidf_docs(spark, sf_dir):
@@ -444,39 +379,39 @@ def exact_dedup_docs(spark, sf_dir):
     return dedup_exact(_t(spark, sf_dir, "documents"))
 
 
-def token_counts_docs(spark, sf_dir):
-    from docprocai_service_spark.operators.textstats import token_count
+def token_stats_docs(spark, sf_dir):
+    """Per-doc token statistics + exact fingerprint in ONE pass (round-6
+    merge of token_counts_docs + bpe_token_counts_docs + fingerprint_docs,
+    VERDICT r5 budget consolidation): whitespace tokens, BPE-ish regex
+    tokens, and the normalized-md5 dedup fingerprint are all independent
+    JVM-codegen scalar columns — one scan covers all three operators, which
+    is also how a 100 TB quality pass would compute them."""
+    from docprocai_service_spark.operators.textstats import (
+        bpe_ish_token_count,
+        fingerprint_md5,
+        token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
 
 
-def bpe_token_counts_docs(spark, sf_dir):
-    from docprocai_service_spark.operators.textstats import bpe_ish_token_count
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
-
-
-def lang_id_docs(spark, sf_dir):
-    from docprocai_service_spark.operators.textstats import lang_id
-
-    d = _t(spark, sf_dir, "documents")
-    return lang_id(d).select("doc_id", "predicted_lang")
-
-
-def quality_docs(spark, sf_dir):
-    from docprocai_service_spark.operators.textstats import quality_score
+def lang_quality_docs(spark, sf_dir):
+    """Language-ID + quality score in ONE pass (round-6 merge of
+    lang_id_docs + quality_docs): both operators are pure-JVM scalar chains
+    over the same text column, so the composed entry pins each exactly while
+    costing one scan."""
+    from docprocai_service_spark.operators.textstats import lang_id, quality_score
 
     d = _t(spark, sf_dir, "documents")
-    return quality_score(d).select("doc_id", F.round("quality", 4).alias("quality"))
-
-
-def fingerprint_docs(spark, sf_dir):
-    from docprocai_service_spark.operators.textstats import fingerprint_md5
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+    return quality_score(lang_id(d)).select(
+        "doc_id", "predicted_lang", F.round("quality", 4).alias("quality")
+    )
 
 
 def minhash_near_dup_docs(spark, sf_dir):
@@ -1219,40 +1154,37 @@ def kg_entities_docs(spark, sf_dir):
 # test_run_pipeline_edges_match_oracled_chain_operators.
 
 
-#: Personalized-PageRank seed entities for ppr_tpch — suppliers exist (and
+#: Personalized-PageRank seed entities for pagerank_variants_tpch /
+#: bfs_distances_tpch — suppliers exist (and
 #: have out-edges) at every test scale factor, so the seeded mass actually
 #: propagates.
 _PPR_SEEDS = ["S1", "S2"]
 
 
-def wpagerank_tpch(spark, sf_dir):
-    """WEIGHTED deterministic PageRank: edge multiplicity (lineitem count
-    per supplier→customer pair; 1 elsewhere) becomes the weight, so mass
-    flows proportionally to corroboration — the semantics the KG edges
-    table (weight = triple count) wants. Same exact-integer contract with
-    the overflow-safe ((rank·d)//100)·w//outw ordering, mirrored
-    term-for-term in the unrolled-CTE oracle."""
+def pagerank_variants_tpch(spark, sf_dir):
+    """PERSONALIZED + WEIGHTED deterministic PageRank in one joint table
+    (round-6 merge of ppr_tpch + wpagerank_tpch, VERDICT r5 budget
+    consolidation — both variants of operators/graph.pagerank_fixed keep
+    full-oracle rows in the driver's 50-entry artifact).
+
+    `ppr_rank`: personalized from two supplier seeds — initial mass and
+    teleport restricted to the seed IN-list ("how close is every entity to
+    this seed set?"). `w_rank`: edge multiplicity (lineitem count per
+    supplier→customer pair; 1 elsewhere) as corroboration weight with the
+    overflow-safe ((rank·d)//100)·w//outw ordering — the semantics the KG
+    edges table (weight = triple count) wants. Both are exact-integer
+    iterations, hence the joint unrolled-CTE DuckDB oracle (two
+    _pagerank_oracle_sql subqueries joined on id; both rank every node, so
+    the inner join is total)."""
     from docprocai_service_spark.operators.graph import pagerank_fixed
 
-    return pagerank_fixed(
-        _tpch_entity_edges(spark, sf_dir).withColumn("w", F.lit(1)),
-        iters=6,
-        checkpoint_every=3,
-        weight_col="w",
+    edges = _tpch_entity_edges(spark, sf_dir)
+    ppr = pagerank_fixed(edges, iters=6, checkpoint_every=3, seeds=_PPR_SEEDS)
+    wpr = pagerank_fixed(
+        edges.withColumn("w", F.lit(1)), iters=6, checkpoint_every=3, weight_col="w"
     )
-
-
-def ppr_tpch(spark, sf_dir):
-    """Personalized PageRank from two supplier seeds over the TPC-H entity
-    graph — the entity-relatedness feature a KG pipeline serves ("how close
-    is every entity to this seed set?"). Same exact-integer iteration as
-    pagerank_tpch (operators/graph.pagerank_fixed with seeds=...), so the
-    seeded variant is ALSO fully DuckDB-oracle-checked via the unrolled CTE
-    with a seed-restricted base term."""
-    from docprocai_service_spark.operators.graph import pagerank_fixed
-
-    return pagerank_fixed(
-        _tpch_entity_edges(spark, sf_dir), iters=6, checkpoint_every=3, seeds=_PPR_SEEDS
+    return ppr.select("id", F.col("rank").alias("ppr_rank")).join(
+        wpr.select("id", F.col("rank").alias("w_rank")), "id"
     )
 
 
@@ -1353,34 +1285,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
-        "top_events": top_events,
         "min_order_per_customer": min_order_per_customer,
-        "segment_union": segment_union,
         "customers_without_orders": customers_without_orders,
-        "customers_with_orders": customers_with_orders,
         "top3_orders_per_customer": top3_orders_per_customer,
-        "event_type_sequence": event_type_sequence,
-        "sessionize_events": sessionize_events,
+        "event_sequences": event_sequences,
         "sessionize_events_dynamic": sessionize_events_dynamic,
-        "event_transcript_timeordered": event_transcript_timeordered,
         "events_daily_cube": events_daily_cube,
         "hourly_event_stats": hourly_event_stats,
-        "json_props_sum": json_props_sum,
         "brand_revenue_broadcast": brand_revenue_broadcast,
         "cosine_topk": cosine_topk,
         "semantic_search_docs": semantic_search_docs,
         "semantic_search_full": semantic_search_full,
-        "data_uri_docs": data_uri_docs,
         "tags_tfidf_docs": tags_tfidf_docs,
         "cosine_near_dup_pairs": cosine_near_dup_pairs,
         "cosine_near_dup_bucketed": cosine_near_dup_bucketed,
         "ann_topk_embeddings": ann_topk_embeddings,
         "exact_dedup_docs": exact_dedup_docs,
-        "token_counts_docs": token_counts_docs,
-        "bpe_token_counts_docs": bpe_token_counts_docs,
-        "lang_id_docs": lang_id_docs,
-        "quality_docs": quality_docs,
-        "fingerprint_docs": fingerprint_docs,
+        "token_stats_docs": token_stats_docs,
+        "lang_quality_docs": lang_quality_docs,
         "minhash_near_dup_docs": minhash_near_dup_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1403,8 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach_tpch": khop_reach_tpch,
         "khop_reach_approx_tpch": khop_reach_approx_tpch,
         "pagerank_tpch": pagerank_tpch,
-        "ppr_tpch": ppr_tpch,
-        "wpagerank_tpch": wpagerank_tpch,
+        "pagerank_variants_tpch": pagerank_variants_tpch,
         "triangle_counts_tpch": triangle_counts_tpch,
         "link_predict_tpch": link_predict_tpch,
         "bfs_distances_tpch": bfs_distances_tpch,
@@ -1643,30 +1564,13 @@ def oracle_sql() -> dict[str, str]:
               AND n_regionkey = r_regionkey AND r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "top_events": """
-            SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
-            FROM events ORDER BY value DESC, event_id LIMIT 20
-        """,
         "min_order_per_customer": """
             SELECT o_custkey, CAST(MIN(o_totalprice) AS DOUBLE) AS min_price, COUNT(*) AS n_orders
             FROM orders GROUP BY o_custkey
         """,
-        "segment_union": """
-            SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey,
-                   CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment AS mktsegment,
-                   'customer' AS source
-            FROM customer
-            UNION ALL
-            SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE), NULL, 'supplier'
-            FROM supplier
-        """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "customers_with_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "top3_orders_per_customer": """
             SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rn
@@ -1676,18 +1580,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders)
             WHERE rn <= 3
         """,
-        "event_type_sequence": """
-            SELECT user_id, string_agg(event_type, ' ' ORDER BY event_type) AS type_seq
+        "event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ' ' ORDER BY event_type) AS type_seq,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id) AS transcript
             FROM events GROUP BY user_id
-        """,
-        "sessionize_events": """
-            SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-            FROM (SELECT user_id,
-                         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
-                              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                              THEN 1 ELSE 0 END AS new_sess
-                  FROM events)
-            GROUP BY user_id
         """,
         "sessionize_events_dynamic": """
             WITH marked AS (
@@ -1709,10 +1606,6 @@ def oracle_sql() -> dict[str, str]:
                    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
             FROM numbered GROUP BY user_id, session_id
         """,
-        "event_transcript_timeordered": """
-            SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS transcript
-            FROM events GROUP BY user_id
-        """,
         "events_daily_cube": """
             SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n
             FROM events GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
@@ -1722,11 +1615,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
-        """,
-        "json_props_sum": """
-            SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-                   COUNT(*) AS n
-            FROM events GROUP BY event_type
         """,
         "brand_revenue_broadcast": f"""
             SELECT p_brand, {_REV} AS revenue, COUNT(*) AS n_items
@@ -1771,10 +1659,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM rest UNION ALL SELECT * FROM assess)
             ORDER BY score ASC, id ASC LIMIT 15
         """,
-        "data_uri_docs": """
-            SELECT doc_id, 'data:text/plain;base64,' || to_base64(encode(text)) AS uri
-            FROM documents
-        """,
         "tags_tfidf_docs": """
             WITH toks AS (
               SELECT source, list_filter(string_split_regex(lower(trim(text)), '\\W+'),
@@ -1814,30 +1698,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
             FROM documents GROUP BY text
         """,
-        "token_counts_docs": f"""
-            SELECT doc_id, CAST({_TOKENS} AS BIGINT) AS n_tokens FROM documents
-        """,
-        "bpe_token_counts_docs": """
-            SELECT doc_id,
+        "token_stats_docs": f"""
+            SELECT doc_id, CAST({_TOKENS} AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-                       AS n_bpe_tokens
+                       AS n_bpe_tokens,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
         """,
-        "lang_id_docs": f"""
+        "lang_quality_docs": f"""
             SELECT doc_id,
                    CASE WHEN greatest(en, de, fr) <= 0 THEN 'und'
                         WHEN en = greatest(en, de, fr) THEN 'en'
                         WHEN de = greatest(en, de, fr) THEN 'de'
-                        ELSE 'fr' END AS predicted_lang
-            FROM (SELECT doc_id,
-                         len(regexp_extract_all(lower(text), '{_EN}')) AS en,
-                         len(regexp_extract_all(lower(text), '{_DE}')) AS de,
-                         len(regexp_extract_all(lower(text), '{_FR}')) AS fr
-                  FROM documents)
-        """,
-        "quality_docs": f"""
-            SELECT doc_id, ROUND((len_ok + punct_ok + stop_ok + wlen_ok) / 4.0, 4) AS quality
-            FROM (SELECT doc_id,
+                        ELSE 'fr' END AS predicted_lang,
+                   ROUND((len_ok + punct_ok + stop_ok + wlen_ok) / 4.0, 4) AS quality
+            FROM (SELECT doc_id, de, fr, n_stop AS en,
                          CASE WHEN n_chars >= 200 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END AS len_ok,
                          CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END) <= 0.2
                               THEN 1.0 ELSE 0.0 END AS punct_ok,
@@ -1850,12 +1725,10 @@ def oracle_sql() -> dict[str, str]:
                                CAST(length(text) AS DOUBLE) AS n_chars,
                                CAST({_TOKENS} AS DOUBLE) AS n_tokens,
                                CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
-                               CAST(len(regexp_extract_all(lower(text), '{_EN}')) AS DOUBLE) AS n_stop
+                               CAST(len(regexp_extract_all(lower(text), '{_EN}')) AS DOUBLE) AS n_stop,
+                               CAST(len(regexp_extract_all(lower(text), '{_DE}')) AS DOUBLE) AS de,
+                               CAST(len(regexp_extract_all(lower(text), '{_FR}')) AS DOUBLE) AS fr
                         FROM documents))
-        """,
-        "fingerprint_docs": """
-            SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-            FROM documents
         """,
         # minhash_near_dup_docs / ngram_jaccard_docs: the VERIFIED pair set is
         # SQL-expressible (exact word-3-gram Jaccard ≥ 0.5 over a bounded
@@ -2198,8 +2071,14 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY canon_id
         """,
         "pagerank_tpch": _pagerank_oracle_sql(iters=6),
-        "ppr_tpch": _pagerank_oracle_sql(iters=6, seeds=_PPR_SEEDS),
-        "wpagerank_tpch": _pagerank_oracle_sql(iters=6, weighted=True),
+        # Joint ppr+weighted oracle: each variant's full unrolled-CTE query
+        # becomes a derived table (DuckDB allows WITH inside a subquery);
+        # both rank every node, so the inner join on id is total.
+        "pagerank_variants_tpch": f"""
+            SELECT p.id, p.rank AS ppr_rank, w.rank AS w_rank
+            FROM ({_pagerank_oracle_sql(iters=6, seeds=_PPR_SEEDS)}) p
+            JOIN ({_pagerank_oracle_sql(iters=6, weighted=True)}) w ON p.id = w.id
+        """,
         "bfs_distances_tpch": _bfs_oracle_sql(seeds=_PPR_SEEDS, max_hops=3),
         "label_propagation_tpch": _lpa_oracle_sql(iters=4),
         # simhash_near_dup_docs, ann_topk_embeddings, ivf_topk_embeddings,

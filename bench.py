@@ -35,7 +35,6 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "brand_revenue_broadcast",
-    "sessionize_events",
     "top3_orders_per_customer",
     "cosine_topk",
     "semantic_search_docs",
