@@ -498,6 +498,27 @@ def near_dup_groups_docs(spark, sf_dir):
     return comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("group_id"))
 
 
+def contamination_docs(spark, sf_dir):
+    """Benchmark-contamination pairs (operators/contamination.py — round-6,
+    VERDICT r5 #3): the benchmark table is the deterministic doc_id % 7 = 0
+    slice of `documents` (the driver registers only the ten standard views,
+    so the oracle derives the identical slice), and a corpus doc is flagged
+    per benchmark item it shares >= 3 distinct word-3-grams with —
+    self-pairs excluded. Tokenization is the shared _GSETS_SQL grammar, so
+    the exact SQL intersection IS the oracle. Scale path: the benchmark
+    gram table broadcasts; the corpus side is one scan, no shuffle before
+    the match-count agg (which carries only matching grams)."""
+    from docprocai_service_spark.operators.contamination import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_pairs(d, bench, n=3, min_common=3).filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+
+
 def winnow_fingerprint_docs(spark, sf_dir):
     """Winnowing document fingerprints (rolling k-gram hash windows — the
     MOSS scheme; numpy sliding-window UDF). SELF-VERIFYING (VERDICT r4 #4):
@@ -1308,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "near_dup_groups_docs": near_dup_groups_docs,
+        "contamination_docs": contamination_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "title_segments_docs": title_segments_docs,
         "kg_extract_docs": kg_extract_docs,
@@ -1341,12 +1363,12 @@ _FR = r"\b(le|la|les|et|est|un|une|dans)\b"
 _TOKENS = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
 
 
-# Exact word-3-gram Jaccard ≥ 0.5 over all doc pairs — the DuckDB twin of the
-# LSH entries' verify step (tokenization mirrors functions/hashing.py
+# Distinct word-3-gram sets per document — the shared tokenization grammar of
+# the dedup/Jaccard/contamination oracles (mirrors functions/hashing.py
 # _shingle_list word mode: lower, whitespace-run split, n-grams space-joined,
 # whole-text gram when ≤ 3 tokens, DISTINCT gram sets).
-_NGRAM_JACCARD_PAIRS_SQL = """
-    WITH toks AS (
+_GSETS_SQL = """
+    toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS tk
         FROM documents
@@ -1359,7 +1381,13 @@ _NGRAM_JACCARD_PAIRS_SQL = """
                          i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))
                END AS gs
         FROM toks
-    ),
+    )
+"""
+
+# Exact word-3-gram Jaccard ≥ 0.5 over all doc pairs — the DuckDB twin of the
+# LSH entries' verify step.
+_NGRAM_JACCARD_PAIRS_SQL = f"""
+    WITH {_GSETS_SQL},
     pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2,
                CASE WHEN len(a.gs) = 0 AND len(b.gs) = 0 THEN 1.0
@@ -1758,6 +1786,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m.mv IS NULL OR d.doc_id < m.mv THEN d.doc_id
                         ELSE m.mv END AS group_id
             FROM documents d LEFT JOIN mins m ON m.id = d.doc_id
+        """,
+        # contamination_docs: exact distinct-gram intersection between every
+        # corpus doc and the deterministic doc_id % 7 = 0 benchmark slice —
+        # the same _GSETS_SQL grammar, so the oracle pins both the gram
+        # construction and the match-count semantics.
+        "contamination_docs": f"""
+            WITH {_GSETS_SQL},
+            bench AS (SELECT doc_id AS bench_id, gs FROM gsets WHERE doc_id % 7 = 0)
+            SELECT c.doc_id, b.bench_id,
+                   CAST(len(list_intersect(c.gs, b.gs)) AS BIGINT) AS n_common_grams
+            FROM gsets c JOIN bench b ON c.doc_id <> b.bench_id
+            WHERE len(list_intersect(c.gs, b.gs)) >= 3
         """,
         # The titling operator's packing/rewind cursor is deterministic and
         # order-defined per group, so it IS SQL-expressible as a recursive
