@@ -498,6 +498,20 @@ def near_dup_groups_docs(spark, sf_dir):
     return comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("group_id"))
 
 
+def shard_assign_docs(spark, sf_dir):
+    """Deterministic export-shard placement column (round-6, VERDICT r5 #4 —
+    operators/materialize.shard_assignment): first 32 bits of
+    md5(doc_id-as-string) mod 16, the engine-portable assignment
+    export_shards writes the corpus with. The DuckDB oracle computes the
+    identical hex-prefix arithmetic, pinning the placement function itself;
+    the write/rename/manifest/resume protocol around it is pinned by
+    tests/test_shard_export.py (kill-and-resume byte-identity)."""
+    from docprocai_service_spark.operators.materialize import shard_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", shard_assignment(F.col("doc_id"), 16).alias("shard"))
+
+
 def contamination_docs(spark, sf_dir):
     """Benchmark-contamination pairs (operators/contamination.py — round-6,
     VERDICT r5 #3): the benchmark table is the deterministic doc_id % 7 = 0
@@ -1330,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "near_dup_groups_docs": near_dup_groups_docs,
         "contamination_docs": contamination_docs,
+        "shard_assign_docs": shard_assign_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "title_segments_docs": title_segments_docs,
         "kg_extract_docs": kg_extract_docs,
@@ -1798,6 +1813,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(c.gs, b.gs)) AS BIGINT) AS n_common_grams
             FROM gsets c JOIN bench b ON c.doc_id <> b.bench_id
             WHERE len(list_intersect(c.gs, b.gs)) >= 3
+        """,
+        # shard_assign_docs: the md5-prefix arithmetic of
+        # materialize.shard_assignment, mirrored digit-for-digit (DuckDB
+        # parses '0x…' casts; both engines emit lowercase md5 hex).
+        "shard_assign_docs": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 16 AS INTEGER) AS shard
+            FROM documents
         """,
         # The titling operator's packing/rewind cursor is deterministic and
         # order-defined per group, so it IS SQL-expressible as a recursive

@@ -18,6 +18,10 @@ at web scale (a raw partitionBy(entity) would create 10⁸ directories).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -230,3 +234,135 @@ def pruned_edge_scan(
         .where(F.col(key_col).isin(frontier))
         .select("src_entity", "dst_entity", "pred", "weight")
     )
+
+
+# =====================================================================
+# Deterministic sharded training-data export (round-6, VERDICT r5 #4)
+# =====================================================================
+
+def shard_assignment(id_col: Column, n_shards: int) -> Column:
+    """Deterministic, engine-portable shard id in [0, n_shards): the first
+    32 bits of md5(id-as-string) mod n_shards. md5-prefix rather than
+    xxhash64 so the assignment is bit-identical in any engine that can
+    compute md5 — DuckDB mirrors it as
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT) % n,
+    which is what makes the export's placement column SQL-oracle-able.
+    Uniform over ids, so shards are size-balanced in expectation (CLT: a
+    shard of k docs deviates O(sqrt k) from the mean)."""
+    h32 = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h32.cast("long"), F.lit(n_shards)).cast("int")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    target_bytes: int | None = None,
+    id_col: str = "doc_id",
+    bytes_col: str = "text",
+) -> dict:
+    """The dedup→filter pipeline's last mile: write `df` as n size-balanced
+    parquet shards with a deterministic placement, a content manifest, and
+    kill-and-resume byte-identity.
+
+    Layout: `path/shard=K/data.parquet`, one file per shard. Every row's
+    shard is `shard_assignment(id_col, n)` — a pure function of the row id,
+    so re-running the export (after a crash, on another cluster, at another
+    parallelism) places every row identically. `repartition(n, shard)` makes
+    each shard's rows live in exactly one write task, and
+    `sortWithinPartitions(shard, id)` fixes the row order, so each shard
+    FILE is byte-deterministic (parquet encodes deterministically given
+    schema + row order); the post-write rename to `data.parquet` removes the
+    only nondeterministic bit (the committer's task-UUID file names).
+
+    Commit protocol: data files → renames → `_manifest.json` (per-shard rows
+    + bytes + sha256, plus the export params) → `_EXPORT_SUCCESS` marker,
+    strictly in that order. A kill anywhere before the marker leaves no
+    marker, and the next call rewrites the whole export (mode=overwrite,
+    deterministic, hence byte-identical to an uninterrupted run); a
+    completed export short-circuits to a no-op that returns the existing
+    manifest. Single-writer semantics like StageStore (sources/manifest.py).
+
+    Sizing: pass `n_shards` directly, or `target_bytes` to derive it from
+    one SUM(octet_length(bytes_col)) aggregation over the input (uncompressed
+    payload bytes — the stable, engine-independent size proxy; parquet's
+    compressed size depends on encoder versions, so targeting it would make
+    n_shards nondeterministic across environments).
+
+    At 100 TB: one hash-partition shuffle on the shard column (unavoidable —
+    the deliverable IS a placement), one write pass, no driver data motion;
+    the manifest pass reads footers/hashes per shard file, O(n_shards).
+    """
+    import hashlib
+
+    if (n_shards is None) == (target_bytes is None):
+        raise ValueError("pass exactly one of n_shards / target_bytes")
+    marker = os.path.join(path, "_EXPORT_SUCCESS")
+    manifest_path = os.path.join(path, "_manifest.json")
+    if os.path.exists(marker) and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    if n_shards is None:
+        total = df.agg(
+            F.sum(F.octet_length(F.col(bytes_col).cast("string"))).alias("b")
+        ).first()["b"] or 0
+        n_shards = max(1, -(-int(total) // int(target_bytes)))
+
+    out = (
+        df.withColumn("shard", shard_assignment(F.col(id_col), n_shards))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    shards = []
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        parts = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        final = os.path.join(d, "data.parquet")
+        if len(parts) == 1:
+            os.replace(parts[0], final)
+        elif parts or not os.path.exists(final):
+            raise RuntimeError(f"expected exactly one part file in {d}, got {parts}")
+        with open(final, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        shards.append(
+            {
+                "shard": int(os.path.basename(d).split("=", 1)[1]),
+                "bytes": os.path.getsize(final),
+                "sha256": digest,
+            }
+        )
+    counts = {
+        r["shard"]: r["rows"]
+        for r in spark_read_counts(df.sparkSession, path)
+    }
+    for s in shards:
+        s["rows"] = counts.get(s["shard"], 0)
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": sum(s["rows"] for s in shards),
+        "total_bytes": sum(s["bytes"] for s in shards),
+        "shards": shards,
+    }
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return manifest
+
+
+def spark_read_counts(spark, path: str) -> list[dict]:
+    """Per-shard row counts of an exported layout (one footer-only agg)."""
+    return [
+        {"shard": r["shard"], "rows": r["rows"]}
+        for r in (
+            spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+    ]
