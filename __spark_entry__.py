@@ -1159,9 +1159,18 @@ def kg_neighborhood_docs(spark, sf_dir):
     )
     canon = canonicalize_entities(names, threshold=0.7)
     edges = edges_table(resolve_entities(t, alias, canon))
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_kg_nbhd_edges")
-    edges.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    return out_neighborhood(spark, path, ["E000", "E103"], hops=2)
+    # per-invocation dir (ADVICE r5: a fixed shared path races concurrent
+    # drivers and leaks between runs); the result must be collected before
+    # the cleanup, so materialize it eagerly and return the local copy.
+    tmpdir = tempfile.mkdtemp(prefix="spark_graft_kg_nbhd_")
+    try:
+        path = os.path.join(tmpdir, "edges")
+        edges.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        return out_neighborhood(spark, path, ["E000", "E103"], hops=2).localCheckpoint()
+    finally:
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def kg_entities_docs(spark, sf_dir):

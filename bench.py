@@ -162,13 +162,23 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
 
     Also samples /proc/loadavg per query (VERDICT r3: without it a noisy
     snapshot can't prove its own validity — the r03 numbers looked like a
-    2-4× regression that was mostly co-tenant load)."""
+    2-4× regression that was mostly co-tenant load).
+
+    PER-QUERY quiet gating (VERDICT r5 #2): _wait_quiet runs before every
+    entry, not just the block — the graph queries are long enough that each
+    heats the box for its successor (r05 recorded bfs/LPA at loadavg
+    4.0-4.5 and 2x their quiet reference under pure self-load). The wait is
+    bounded per query ($SPARK_GRAFT_QUERY_QUIET_WAIT_S, default 180 s ≈
+    three 1-min-loadavg half-lives — enough for self-load to decay, small
+    enough that a genuinely busy box doesn't stall the bench) and costs
+    nothing when the box is already quiet."""
     import __spark_entry__ as entrymod
 
+    per_query_wait = os.environ.get("SPARK_GRAFT_QUERY_QUIET_WAIT_S", "180")
     qs = entrymod.queries()
     out, loads = {}, {}
     for name in HEADLINE:
-        loads[name] = float(open("/proc/loadavg").read().split()[0])
+        loads[name] = _wait_quiet(wait_s=float(per_query_wait))
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -233,16 +243,18 @@ def kg_only() -> None:
     print(json.dumps({"cpus": CPUS, **kg}))
 
 
-def _wait_quiet() -> float:
+def _wait_quiet(wait_s: float | None = None) -> float:
     """Block until the 1-min loadavg drops below $SPARK_GRAFT_QUIET_LOAD
-    (default 2.5, VERDICT r3 protocol; 0 disables), up to
-    $SPARK_GRAFT_QUIET_WAIT_S (default 900s) — then return the loadavg that
+    (default 2.5, VERDICT r3 protocol; 0 disables), up to `wait_s` (default
+    $SPARK_GRAFT_QUIET_WAIT_S, default 900s) — then return the loadavg that
     the measurement actually starts at. Co-tenant bursts on this box swing
     loadavg 0→27 on a minutes timescale; a level measured inside a burst
     understates the engine and poisons the N→4N ratio, so gating each level
     is cheaper than averaging the noise away with more rounds."""
     thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5"))
-    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "900"))
+    if wait_s is None:
+        wait_s = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "900"))
+    deadline = time.time() + wait_s
     while True:
         load = float(open("/proc/loadavg").read().split()[0])
         if thresh <= 0 or load < thresh or time.time() > deadline:

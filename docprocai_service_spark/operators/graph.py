@@ -102,34 +102,40 @@ def khop_reach(
     # broadcastable here, unlike pagerank's rank vector).
     base = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     pinned = _pin_by_key(base, "src", reliable_checkpoint) if pin_edges else None
-    pairs = _fresh(pinned) if pin_edges else _fresh(
-        _truncate_lineage(base, reliable_checkpoint)
-    )
-    reach = pairs
-    frontier = pairs
-    for _ in range(1, k):
-        fr = frontier.alias("r")
-        if pin_edges:
-            fr = fr.hint("shuffle_hash")  # keep the pinned side sort-free
-        ext = (
-            fr.join(pairs.alias("e"), F.col("r.dst") == F.col("e.src"))
-            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
+    # try/finally (ADVICE r5): an exception mid-iteration (task failure,
+    # cancellation) must not strand the O(m) MEMORY_AND_DISK cache for the
+    # session lifetime.
+    try:
+        pairs = _fresh(pinned) if pin_edges else _fresh(
+            _truncate_lineage(base, reliable_checkpoint)
         )
-        frontier = _fresh(
-            _truncate_lineage(
-                ext.join(reach, ["src", "dst"], "left_anti"), reliable_checkpoint
+        reach = pairs
+        frontier = pairs
+        for _ in range(1, k):
+            fr = frontier.alias("r")
+            if pin_edges:
+                fr = fr.hint("shuffle_hash")  # keep the pinned side sort-free
+            ext = (
+                fr.join(pairs.alias("e"), F.col("r.dst") == F.col("e.src"))
+                .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
             )
-        )
-        if frontier.isEmpty():
-            break
-        reach = _fresh(_truncate_lineage(reach.union(frontier), reliable_checkpoint))
-    if pinned is not None:
-        if reach is pairs:  # k == 1 or round 1 drained: detach from the cache
+            frontier = _fresh(
+                _truncate_lineage(
+                    ext.join(reach, ["src", "dst"], "left_anti"), reliable_checkpoint
+                )
+            )
+            if frontier.isEmpty():
+                break
+            reach = _fresh(_truncate_lineage(reach.union(frontier), reliable_checkpoint))
+        if pinned is not None and reach is pairs:
+            # k == 1 or round 1 drained: detach from the cache before unpersist
             reach = _fresh(_truncate_lineage(pairs, reliable_checkpoint))
-        pinned.unpersist()
-    return reach
+        return reach
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
 
 
 #: PageRank mass is carried in integer micro-units of 1e-12 so every sum is
@@ -295,35 +301,39 @@ def pagerank_fixed(
             F.when(is_seed, F.lit(PR_SCALE // s)).otherwise(F.lit(0)).cast("long")
         )
     ranks = nodes.withColumn("rank", init_col)
-    for i in range(iters):
-        rank_side = ranks.withColumnRenamed("id", "src")
-        rank_side = (
-            F.broadcast(rank_side) if small_n else rank_side.hint("shuffle_hash")
-        )
-        contrib = (
-            deg_pairs.join(rank_side, "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr(contrib_expr).alias("c"),
+    # try/finally (ADVICE r5): don't strand the pinned O(m) deg⋈pairs cache
+    # when an iteration fails mid-loop.
+    try:
+        for i in range(iters):
+            rank_side = ranks.withColumnRenamed("id", "src")
+            rank_side = (
+                F.broadcast(rank_side) if small_n else rank_side.hint("shuffle_hash")
             )
-            .groupBy("id")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        contrib_side = (
-            F.broadcast(contrib) if small_n else contrib.hint("shuffle_hash")
-        )
-        ranks = (
-            nodes.join(contrib_side, "id", "left")
-            .select(
-                "id",
-                (base_col + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
+            contrib = (
+                deg_pairs.join(rank_side, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr(contrib_expr).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").cast("long").alias("c"))
             )
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            ranks = _truncate_lineage(ranks, reliable_checkpoint)
-    if not small_n:
-        deg_pairs.unpersist()
-    return ranks
+            contrib_side = (
+                F.broadcast(contrib) if small_n else contrib.hint("shuffle_hash")
+            )
+            ranks = (
+                nodes.join(contrib_side, "id", "left")
+                .select(
+                    "id",
+                    (base_col + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+                ranks = _truncate_lineage(ranks, reliable_checkpoint)
+        return ranks
+    finally:
+        if not small_n:
+            deg_pairs.unpersist()
 
 
 def khop_reach_counts(
@@ -687,31 +697,35 @@ def label_propagation(
         pinned = _pin_by_key(adj, "nb", False)
         adj = _fresh(pinned)
     win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("label").asc())
-    for i in range(iters):
-        # The (id, label) aggregation keeps its own shuffle on purpose:
-        # map-side partials bound a hub's vote rows before they move, so the
-        # per-id window sees at most (distinct labels per id) rows — the
-        # hub-safe shape. Collapsing agg+window onto one id-shuffle would
-        # move every raw vote of a hub into one partition.
-        label_side = labels.select(F.col("id").alias("nb"), "label")
-        label_side = (
-            F.broadcast(label_side) if small_n else label_side.hint("shuffle_hash")
-        )
-        scores = (
-            adj.join(label_side, "nb")
-            .groupBy("id", "label")
-            .agg(F.sum("w").alias("s"))
-        )
-        labels = (
-            scores.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("id", "label")
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            labels = _fresh(_truncate_lineage(labels, reliable_checkpoint))
-    if pinned is not None:
-        pinned.unpersist()
-    return labels
+    # try/finally (ADVICE r5): release the pinned adjacency cache even when
+    # an iteration raises.
+    try:
+        for i in range(iters):
+            # The (id, label) aggregation keeps its own shuffle on purpose:
+            # map-side partials bound a hub's vote rows before they move, so
+            # the per-id window sees at most (distinct labels per id) rows —
+            # the hub-safe shape. Collapsing agg+window onto one id-shuffle
+            # would move every raw vote of a hub into one partition.
+            label_side = labels.select(F.col("id").alias("nb"), "label")
+            label_side = (
+                F.broadcast(label_side) if small_n else label_side.hint("shuffle_hash")
+            )
+            scores = (
+                adj.join(label_side, "nb")
+                .groupBy("id", "label")
+                .agg(F.sum("w").alias("s"))
+            )
+            labels = (
+                scores.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .select("id", "label")
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+                labels = _fresh(_truncate_lineage(labels, reliable_checkpoint))
+        return labels
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
 
 
 def khop_reach_counts_approx(
@@ -758,33 +772,36 @@ def khop_reach_counts_approx(
         else _truncate_lineage(base, reliable_checkpoint)
     )
     lgk = F.lit(lg_config_k)
-    s = (
-        pairs.groupBy("src")
-        .agg(F.hll_sketch_agg("dst", lgk).alias("sk"))
-        .withColumnRenamed("src", "id")
-    )
-    s = _truncate_lineage(s, reliable_checkpoint)
-    for _ in range(1, k):
-        sk_side = s.withColumnRenamed("id", "dst")
-        if pin_edges:
-            sk_side = sk_side.hint("shuffle_hash")
-        s = _truncate_lineage(
-            pairs.join(sk_side, "dst", "left")
-            .groupBy("src")
-            .agg(
-                F.hll_sketch_agg("dst", lgk).alias("a"),  # direct neighbors
-                F.hll_union_agg("sk").alias("b"),  # their reach sets (nulls skipped)
-            )
-            .select(
-                F.col("src").alias("id"),
-                F.when(F.col("b").isNull(), F.col("a"))
-                .otherwise(F.hll_union("a", "b"))
-                .alias("sk"),
-            ),
-            reliable_checkpoint,
+    # try/finally (ADVICE r5): release the pinned edge cache on any exit.
+    try:
+        s = (
+            pairs.groupBy("src")
+            .agg(F.hll_sketch_agg("dst", lgk).alias("sk"))
+            .withColumnRenamed("src", "id")
         )
-    if pin_edges:
-        pairs.unpersist()
-    return s.select(
-        "id", F.hll_sketch_estimate("sk").cast("long").alias("n_reach_approx")
-    )
+        s = _truncate_lineage(s, reliable_checkpoint)
+        for _ in range(1, k):
+            sk_side = s.withColumnRenamed("id", "dst")
+            if pin_edges:
+                sk_side = sk_side.hint("shuffle_hash")
+            s = _truncate_lineage(
+                pairs.join(sk_side, "dst", "left")
+                .groupBy("src")
+                .agg(
+                    F.hll_sketch_agg("dst", lgk).alias("a"),  # direct neighbors
+                    F.hll_union_agg("sk").alias("b"),  # their reach sets (nulls skipped)
+                )
+                .select(
+                    F.col("src").alias("id"),
+                    F.when(F.col("b").isNull(), F.col("a"))
+                    .otherwise(F.hll_union("a", "b"))
+                    .alias("sk"),
+                ),
+                reliable_checkpoint,
+            )
+        return s.select(
+            "id", F.hll_sketch_estimate("sk").cast("long").alias("n_reach_approx")
+        )
+    finally:
+        if pin_edges:
+            pairs.unpersist()

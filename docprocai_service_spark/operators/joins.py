@@ -47,6 +47,7 @@ def skew_aware_join(
     how: str = "left",
     hot_fraction: float = 0.25,
     probe_rows: int = 100_000,
+    max_probe_bytes: int = 8 << 30,
 ) -> DataFrame:
     """`salted_join` with the published ablation encoded as a guardrail.
 
@@ -88,11 +89,34 @@ def skew_aware_join(
     documented: a hub that exactly fills one BALANCED partition of very few
     is indistinguishable from a sorted key run by any prefix probe; AQE
     skew-join remains the backstop there.
+
+    Probe COST (ADVICE r5): the per-partition true row counts make this a
+    FULL key-column scan of `big`, and the join then executes the upstream
+    plan a second time — cheap against a parquet scan (column-pruned,
+    footer-fast), expensive against a derived plan. Two guards: (a) when
+    Catalyst's size estimate for `big` exceeds `max_probe_bytes` (default
+    8 GiB) the probe is SKIPPED and the join stays plain — at that scale AQE
+    skew-join (enabled session-wide, session.py) is the cheaper detector,
+    and an O(input) probe would rival the join itself; (b) callers feeding a
+    derived `big` below the threshold should localCheckpoint it first so the
+    probe and the join share one materialization (the khop/pagerank loops
+    already do). The probe quota divides by defaultParallelism rather than
+    forcing a plan→RDD conversion for the exact partition count — the quota
+    only shapes prefix sizes, so an approximation is fine.
     """
+    try:
+        est_bytes = int(
+            big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0  # unknown -> probe (small/test plans lack stats rarely)
+    if est_bytes > max_probe_bytes:
+        return big.join(small, key, how)
     # per-partition row offset from monotonically_increasing_id's documented
     # layout: partition id in the upper 31 bits, record-in-partition in the
     # lower 33.
-    per_part = max(1, probe_rows // max(1, big.rdd.getNumPartitions()))
+    n_parts = big.sparkSession.sparkContext.defaultParallelism
+    per_part = max(1, probe_rows // max(1, n_parts))
     off = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     probe = (
         big.select(

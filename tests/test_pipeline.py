@@ -563,6 +563,48 @@ def test_dict_change_detected_on_empty_batch(spark, spark_corpus, tmp_path):
     full.canon_map.unpersist()
 
 
+def test_legacy_store_adoption_verifies_dictionary(spark, spark_corpus, tmp_path):
+    """ADVICE r5: a legacy canon_map (neither alias_fp nor alias_fp_pending —
+    pre-fingerprint batch runs) must be adopted by EVIDENCE: touched with the
+    SAME dictionary its content derives from it stamps consistent and merges
+    normally; touched with a DIFFERENT dictionary it must route into the
+    exact refresh instead of silently merging stale links/edges."""
+    import json
+    import os
+
+    pages, alias = spark_corpus
+
+    def strip_stamps(store):
+        p = store._manifest_path("canon_map")
+        man = json.load(open(p))
+        man.pop("alias_fp", None)
+        man.pop("alias_fp_pending", None)
+        tmp = p + ".tmp"
+        json.dump(man, open(tmp, "w"))
+        os.replace(tmp, p)
+
+    # same dictionary: adoption stamps consistent, no rebuild
+    s1 = StageStore(spark, str(tmp_path / "legacy_same"))
+    incremental_ingest(spark, pages, s1, alias_dict=alias)
+    strip_stamps(s1)
+    m = incremental_ingest(spark, pages.limit(0), s1, alias_dict=alias)
+    assert not m.get("rebuilt_for_dict_change")
+    assert "alias_fp" in s1.manifest("canon_map")
+
+    # different dictionary: content mismatch -> exact refresh, converging to
+    # the full pipeline under the NEW dictionary
+    s2 = StageStore(spark, str(tmp_path / "legacy_diff"))
+    incremental_ingest(spark, pages, s2, alias_dict=alias)
+    strip_stamps(s2)
+    alias2 = alias.filter(F.length("alias") > 6).localCheckpoint()
+    m2 = incremental_ingest(spark, pages.limit(0), s2, alias_dict=alias2)
+    assert m2.get("rebuilt_for_dict_change")
+    full = run_pipeline(spark, pages, alias2, out_dir=None, collect_lineage=False)
+    assert _edges_key(s2.read("edges")) == _edges_key(full.edges)
+    full.triples.unpersist()
+    full.canon_map.unpersist()
+
+
 def _install_crash(plan):
     """Wrap every StageStore mutation so the plan.n-th call raises BEFORE
     executing — sweeping n over all calls visits every between-mutation
