@@ -303,6 +303,46 @@ def test_streaming_ingest_available_now(spark, spark_corpus, tmp_path):
     assert store.read("extracted").select("url", "warc_ts").distinct().count() == 80
 
 
+def test_streaming_features_arm_matches_batch_twin(spark, spark_corpus, tmp_path):
+    """VERDICT r5 #5: streaming_ingest(features=True) must converge the
+    per-entity graph-feature table after every micro-batch — post-stream it
+    equals the same pagerank+LPA chain computed over a one-shot batch run
+    of ALL pages (kg_features_docs' operator composition)."""
+    from docprocai_service_spark.operators.graph import label_propagation, pagerank_fixed
+    from docprocai_service_spark.streaming.incremental import streaming_ingest
+
+    pages, alias = spark_corpus
+    in_dir = str(tmp_path / "in")
+    pages.limit(120).write.mode("overwrite").parquet(in_dir)
+    store = StageStore(spark, str(tmp_path / "stream_feat"))
+    ckpt = str(tmp_path / "ckpt")
+    streaming_ingest(spark, in_dir, store, ckpt, alias_dict=alias, features=True)
+    assert store.is_done("graph_features")
+    # second micro-batch: remaining pages (overlap dedupes by key)
+    pages.write.mode("append").parquet(in_dir)
+    streaming_ingest(spark, in_dir, store, ckpt, alias_dict=alias, features=True)
+
+    full = run_pipeline(spark, pages, alias, out_dir=None, collect_lineage=False)
+    e = full.edges.select(
+        F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst"), "weight"
+    ).localCheckpoint()
+    ranks = pagerank_fixed(e, iters=6, checkpoint_every=3, weight_col="weight")
+    comms = label_propagation(e, iters=4, weight_col="weight")
+    want = {
+        r["id"]: (r["rank"], r["community"])
+        for r in ranks.join(comms, "id", "left")
+        .select("id", "rank", F.coalesce("label", F.col("id")).alias("community"))
+        .collect()
+    }
+    got = {
+        r["entity_id"]: (r["rank"], r["community"])
+        for r in store.read("graph_features").collect()
+    }
+    assert got == want
+    full.triples.unpersist()
+    full.canon_map.unpersist()
+
+
 def test_incremental_onto_batch_store_bootstraps_ledger(spark, spark_corpus, tmp_path):
     """Incremental ingest onto a store built by a BATCH run must not re-merge
     the batch pages' edge weights (the ledger bootstraps from the committed
