@@ -296,3 +296,38 @@ def test_unknown_modulus_falls_back_safely(spark, tmp_path):
     assert all(out[f"u{i}"] == i for i in range(10, 40))
     # modulus re-recorded durably by the migration
     assert store._recorded_n_buckets("seg") is not None
+
+
+def test_json_scalar_matches_duckdb(spark):
+    """JSON-parse scalar coverage (§2.8 — the retired json_props_sum entry's
+    operator, pinned here instead): get_json_object agrees with DuckDB's
+    json_extract_string on the events table's props column at sf0.001."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    got = sorted(
+        map(
+            tuple,
+            e.groupBy("event_type")
+            .agg(
+                F.sum(F.get_json_object("props", "$.k").cast("int"))
+                .cast("long")
+                .alias("sum_k"),
+                F.count("*").alias("n"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""SELECT event_type,
+                           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT),
+                           COUNT(*)
+                    FROM '{sf}/events.parquet' GROUP BY event_type"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
