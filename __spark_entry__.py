@@ -1222,7 +1222,9 @@ def pagerank_variants_tpch(spark, sf_dir):
     the inner join is total)."""
     from docprocai_service_spark.operators.graph import pagerank_fixed
 
-    edges = _tpch_entity_edges(spark, sf_dir)
+    # one materialization feeds both variants (the 4-way scan+join edge
+    # derivation would otherwise execute twice)
+    edges = _tpch_entity_edges(spark, sf_dir).localCheckpoint()
     ppr = pagerank_fixed(edges, iters=6, checkpoint_every=3, seeds=_PPR_SEEDS)
     wpr = pagerank_fixed(
         edges.withColumn("w", F.lit(1)), iters=6, checkpoint_every=3, weight_col="w"

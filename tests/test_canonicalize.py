@@ -806,3 +806,27 @@ def test_graph_scale_paths_match_default(spark):
         ).collect()
     }
     assert wlp_b == wlp_p
+
+
+def test_skew_probe_size_gate_skips_probe(spark):
+    """ADVICE r5: the stratified probe is a full key-column scan; above
+    max_probe_bytes skew_aware_join must skip it entirely (plain join, AQE
+    backstop) while staying row-identical — forced here with a zero
+    threshold so even a hub input goes unprobed and unsalted."""
+    from pyspark.sql import functions as F
+
+    from docprocai_service_spark.operators.joins import skew_aware_join
+
+    dim = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(50)] + [("hub", 999)], "key string, val int"
+    )
+    hub = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit("hub"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))).alias("key"),
+    )
+    j = skew_aware_join(hub, dim, key="key", salt_on="rid", max_probe_bytes=0)
+    assert "__salt" not in j._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, j.select("rid", "key", "val").collect())) == sorted(
+        map(tuple, hub.join(dim, "key", "left").select("rid", "key", "val").collect())
+    )
