@@ -43,6 +43,8 @@ HEADLINE = [
     "tags_tfidf_docs",
     "exact_dedup_docs",
     "minhash_near_dup_docs",
+    # round-6: benchmark decontamination (broadcast gram probe)
+    "contamination_docs",
     # round-4 additions: distributed graph workloads at sf scale
     "khop_reach_tpch",
     "pagerank_tpch",

@@ -260,6 +260,7 @@ def export_shards(
     target_bytes: int | None = None,
     id_col: str = "doc_id",
     bytes_col: str = "text",
+    checksums: str = "sha256",
 ) -> dict:
     """The dedup→filter pipeline's last mile: write `df` as n size-balanced
     parquet shards with a deterministic placement, a content manifest, and
@@ -291,10 +292,13 @@ def export_shards(
 
     At 100 TB: one hash-partition shuffle on the shard column (unavoidable —
     the deliverable IS a placement), one write pass, no driver data motion;
-    the manifest pass reads footers/hashes per shard file, O(n_shards).
+    the manifest pass re-reads the shard files EXECUTOR-side (binaryFile
+    scan → JVM sha2) so the driver only ever holds n_shards digest rows —
+    never file bytes. binaryFile materializes a whole file per row, so keep
+    shards under ~2 GB when checksums are on, or pass checksums="none"
+    (rows + bytes still recorded; parquet's own page checksums carry
+    integrity) for jumbo shards.
     """
-    import hashlib
-
     if (n_shards is None) == (target_bytes is None):
         raise ValueError("pass exactly one of n_shards / target_bytes")
     marker = os.path.join(path, "_EXPORT_SUCCESS")
@@ -324,15 +328,27 @@ def export_shards(
             os.replace(parts[0], final)
         elif parts or not os.path.exists(final):
             raise RuntimeError(f"expected exactly one part file in {d}, got {parts}")
-        with open(final, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()
         shards.append(
             {
                 "shard": int(os.path.basename(d).split("=", 1)[1]),
                 "bytes": os.path.getsize(final),
-                "sha256": digest,
             }
         )
+    if checksums == "sha256":
+        digests = {
+            r["shard"]: r["digest"]
+            for r in (
+                df.sparkSession.read.format("binaryFile")
+                .load(os.path.join(path, "shard=*", "data.parquet"))
+                .select(
+                    F.regexp_extract("path", r"shard=(\d+)", 1).cast("int").alias("shard"),
+                    F.lower(F.sha2(F.col("content"), 256)).alias("digest"),
+                )
+                .collect()
+            )
+        }
+        for s in shards:
+            s["sha256"] = digests[s["shard"]]
     counts = {
         r["shard"]: r["rows"]
         for r in spark_read_counts(df.sparkSession, path)

@@ -4,7 +4,9 @@ reference's stateful ordered video segmentation
 order, start a new segment when similarity drops and the current segment is
 long enough).
 
-Batch form lives in __spark_entry__.sessionize_events (lag + cumsum window);
+Batch form lives in __spark_entry__.sessionize_events_dynamic (lag + cumsum
+window; the fixed-gap special case is this module's dynamic_sessionize with a
+constant predicate);
 this module is the streaming form: watermarked event-time session_window with
 a static gap. At scale the state store holds one open session per (user) key;
 the watermark bounds state size by evicting sessions older than the lateness
