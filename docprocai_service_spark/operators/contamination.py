@@ -42,17 +42,29 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     residual divergence is the \\x1c-\\x1f separator controls, which Python
     isspace() accepts but Unicode White_Space excludes — absent from any
     text this pipeline tokenizes (the extractor normalizes controls).
+
+    Evaluation-order pitfall, measured: referencing the tokenization
+    EXPRESSION inside the per-gram lambda makes Catalyst re-run
+    split+filter once per gram — O(tokens²) per document (3.9 s for the
+    sf0.1 corpus). The single-element transform below is Spark's
+    let-binding idiom: `toks` is evaluated once per ROW and the lambda
+    variable carries the VALUE into the gram loop (0.49 s, 8×).
     """
     toks = F.filter(F.split(F.lower(text), r"(?U)\s+"), lambda x: F.length(x) > 0)
-    grams = F.when(F.size(toks) == 0, F.array().cast("array<string>")).when(
-        F.size(toks) <= n, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+
+    def grams_of(t: Column) -> Column:
+        return (
+            F.when(F.size(t) == 0, F.array().cast("array<string>"))
+            .when(F.size(t) <= n, F.array(F.array_join(t, " ")))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                )
+            )
         )
-    )
-    return F.array_distinct(grams)
+
+    return F.array_distinct(F.transform(F.array(toks), grams_of)[0])
 
 
 def contamination_pairs(
