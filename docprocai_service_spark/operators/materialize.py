@@ -301,6 +301,8 @@ def export_shards(
     """
     if (n_shards is None) == (target_bytes is None):
         raise ValueError("pass exactly one of n_shards / target_bytes")
+    if checksums not in ("sha256", "none"):
+        raise ValueError(f"checksums must be 'sha256' or 'none', got {checksums!r}")
     marker = os.path.join(path, "_EXPORT_SUCCESS")
     manifest_path = os.path.join(path, "_manifest.json")
     if os.path.exists(marker) and os.path.exists(manifest_path):
