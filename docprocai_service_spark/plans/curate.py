@@ -1,0 +1,149 @@
+"""Corpus curation plan — the end-to-end training-data pass the individual
+operators exist for, composed in the order a web-scale pipeline runs them:
+
+    exact dedup → near-dup dedup → language/quality filter →
+    benchmark decontamination → deterministic sharded export
+
+Every stage reuses an independently DuckDB-oracled operator
+(operators/dedup.py, canonicalize.py, textstats.py, contamination.py,
+materialize.py); this module contributes only the composition, the
+keep/drop bookkeeping, and the one ordering decision that matters at
+100 TB: CHEAP, HIGH-YIELD filters run first so expensive stages see fewer
+rows. Exact dedup (one hash agg) precedes near-dup (LSH + verify);
+quality/lang (pure codegen scalars) precedes decontamination (gram
+explode + broadcast probe); export is last so shard sizing reflects the
+SURVIVING corpus. Stage metrics use observe()-free counts on
+dimension-sized survivors, never a scan of the raw corpus per stage.
+
+No reference analog (the reference is a course-content service); this is
+the LLM-pipeline deliverable of the build brief.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import connected_components
+from ..operators.contamination import contamination_pairs
+from ..operators.dedup import minhash_near_dup_pairs
+from ..operators.materialize import export_shards
+from ..operators.textstats import fingerprint_md5, lang_id, quality_score
+
+
+@dataclass
+class CurationResult:
+    """Surviving corpus + per-stage drop accounting (rows REMOVED by each
+    stage, in execution order) + the export manifest when out_dir was set."""
+
+    corpus: DataFrame
+    metrics: dict = field(default_factory=dict)
+    manifest: dict | None = None
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmarks: DataFrame | None = None,
+    out_dir: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    contamination_n: int = 3,
+    contamination_min_common: int = 3,
+    n_shards: int | None = None,
+    target_bytes: int | None = None,
+) -> CurationResult:
+    """Run the full curation pass; every decision is a pure function of the
+    input (keep = MIN(id) per duplicate class, fixed thresholds), so re-runs
+    and resumes are deterministic end-to-end — the property the export
+    stage's byte-identity contract depends on.
+
+    Dedup semantics: exact dup classes collapse by normalized-md5
+    fingerprint (whitespace-normalized, lowercased — operators/textstats
+    fingerprint_md5, the same key exact_dedup_docs pins); near-dup classes
+    are connected components over the MinHash-LSH + exact-Jaccard-verified
+    pair graph at `near_dup_threshold` — the oracled near_dup_groups_docs
+    composition. In both, the survivor is the MINIMUM id of the class.
+
+    At scale: one hash agg (exact), one LSH band join over exact-survivors
+    only (near-dup), one scalar-only scan (lang/quality), one broadcast gram
+    probe over quality-survivors only (decontamination), one shard shuffle
+    (export). The corpus is never shuffled on anything but its own dedup
+    keys and the final shard column.
+    """
+    metrics: dict = {"rows_in": docs.count()}
+
+    # 1. exact dedup — keep MIN(id) per normalized fingerprint
+    keep_exact = (
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    survivors = docs.join(keep_exact, id_col, "left_semi").localCheckpoint()
+    n = survivors.count()
+    metrics["exact_dup_dropped"] = metrics["rows_in"] - n
+
+    # 2. near-dup dedup — component representative survives
+    pairs = minhash_near_dup_pairs(
+        survivors, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    comps = connected_components(
+        pairs, vertices=survivors.select(F.col(id_col).alias("id")), mode="auto"
+    )
+    keep_near = comps.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = survivors.join(keep_near, id_col, "left_semi").localCheckpoint()
+    m = survivors.count()
+    metrics["near_dup_dropped"] = n - m
+    n = m
+
+    # 3. language + quality filter — pure codegen scalars, one scan
+    scored = quality_score(lang_id(survivors, text_col=text_col), text_col=text_col)
+    survivors = (
+        scored.filter(
+            F.col("predicted_lang").isin(list(langs))
+            & (F.col("quality") >= min_quality)
+        )
+        .drop("predicted_lang", "quality")
+        .localCheckpoint()
+    )
+    m = survivors.count()
+    metrics["quality_lang_dropped"] = n - m
+    n = m
+
+    # 4. benchmark decontamination — drop every doc overlapping any item
+    if benchmarks is not None:
+        contaminated = contamination_pairs(
+            survivors,
+            benchmarks,
+            n=contamination_n,
+            min_common=contamination_min_common,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(id_col).distinct()
+        survivors = survivors.join(contaminated, id_col, "left_anti").localCheckpoint()
+        m = survivors.count()
+        metrics["contaminated_dropped"] = n - m
+        n = m
+
+    metrics["rows_out"] = n
+
+    # 5. deterministic sharded export
+    manifest = None
+    if out_dir is not None:
+        manifest = export_shards(
+            survivors,
+            out_dir,
+            n_shards=n_shards,
+            target_bytes=target_bytes,
+            id_col=id_col,
+            bytes_col=text_col,
+        )
+    return CurationResult(corpus=survivors, metrics=metrics, manifest=manifest)
