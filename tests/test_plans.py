@@ -177,3 +177,39 @@ def test_out_neighborhood_scan_prunes_buckets(spark, tmp_path):
     assert "PartitionFilters: []" not in executed
     # correctness of the pruned read: exactly e1's out-edges
     assert [(r.src_entity, r.dst_entity) for r in scan.collect()] == [("e1", "e7")]
+
+
+def test_contamination_corpus_never_shuffles_before_match_agg(spark):
+    """Round-6 plan contract: the benchmark gram table broadcasts and the
+    only Exchange in the contamination plan is the (doc, bench) match-count
+    aggregation — the corpus side reaches the join map-side."""
+    import __spark_entry__ as E
+
+    plan = plan_str(E.queries()["contamination_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges: the broadcast build + the hashpartitioning agg; no
+    # additional shuffle of the exploded corpus grams
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or ("Arguments: hashpartitioning" in ln)
+    ]
+    assert len(hash_exchanges) <= 1, hash_exchanges
+
+
+def test_export_shards_single_shuffle_plan(spark):
+    """The export's write plan is one hash-partition Exchange on the shard
+    column plus an in-partition sort — nothing else moves."""
+    from docprocai_service_spark.operators.materialize import shard_assignment
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = (
+        d.withColumn("shard", shard_assignment(F.col("doc_id"), 8))
+        .repartition(8, F.col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    # local (per-partition) sort, no global ordering shuffle
+    assert "Sort [shard" in plan and "], false," in plan
