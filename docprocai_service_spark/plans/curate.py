@@ -2,7 +2,8 @@
 operators exist for, composed in the order a web-scale pipeline runs them:
 
     exact dedup → near-dup dedup → language/quality filter →
-    benchmark decontamination → deterministic sharded export
+    benchmark decontamination → mixture sampling →
+    deterministic sharded export
 
 Every stage reuses an independently DuckDB-oracled operator
 (operators/dedup.py, canonicalize.py, textstats.py, contamination.py,
@@ -55,6 +56,9 @@ def curate_corpus(
     near_dup_threshold: float = 0.5,
     contamination_n: int = 3,
     contamination_min_common: int = 3,
+    mixture_rates: dict[str, float] | None = None,
+    mixture_group_col: str = "source",
+    mixture_default_rate: float = 1.0,
     n_shards: int | None = None,
     target_bytes: int | None = None,
 ) -> CurationResult:
@@ -133,9 +137,26 @@ def curate_corpus(
         metrics["contaminated_dropped"] = n - m
         n = m
 
+    # 5. mixture sampling — deterministic per-stratum downsampling to the
+    # recipe (operators/sampling.py; default_rate=1.0 here: curation keeps
+    # unlisted strata, unlike a from-scratch mixture job)
+    if mixture_rates is not None:
+        from ..operators.sampling import stratified_sample
+
+        survivors = stratified_sample(
+            survivors,
+            mixture_rates,
+            group_col=mixture_group_col,
+            id_col=id_col,
+            default_rate=mixture_default_rate,
+        ).localCheckpoint()
+        m = survivors.count()
+        metrics["mixture_dropped"] = n - m
+        n = m
+
     metrics["rows_out"] = n
 
-    # 5. deterministic sharded export
+    # 6. deterministic sharded export
     manifest = None
     if out_dir is not None:
         manifest = export_shards(

@@ -92,3 +92,17 @@ def test_curation_is_deterministic_across_partitionings(spark, planted):
     b = curate_corpus(docs.repartition(7), bench)
     assert a.metrics == b.metrics
     assert sorted(map(tuple, a.corpus.collect())) == sorted(map(tuple, b.corpus.collect()))
+
+
+def test_mixture_stage_applies_recipe(spark, planted):
+    docs, bench = planted
+    # survivors without mixing are docs 1 and 7 (src column absent -> add one)
+    import pyspark.sql.functions as F
+
+    docs2 = docs.withColumn(
+        "source", F.when(F.col("doc_id") == 7, "tail").otherwise("head")
+    )
+    r = curate_corpus(docs2, bench, mixture_rates={"tail": 0.0})
+    # tail stratum dropped entirely; head stratum (default 1.0) kept
+    assert r.metrics["mixture_dropped"] == 1
+    assert [x["doc_id"] for x in r.corpus.select("doc_id").collect()] == [1]
