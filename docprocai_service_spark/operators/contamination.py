@@ -89,6 +89,31 @@ def contamination_pairs(
     reach the aggregation. Set it False when screening against a
     corpus-sized blocklist — the join then shuffles both sides on gram.
     """
+    # Spread small-file inputs BEFORE the gram explode/probe (guide §2.5
+    # input skew / §6 small files): a few-MB parquet corpus arrives as 1-2
+    # scan splits, and the whole explode → broadcast-probe → partial-agg
+    # pipeline (which fans out to Σ_g c_g·b_g matched rows — far larger than
+    # the input) would run on 1-2 cores. Measured at sf1.0 (50k docs, 32
+    # cores): 42.9 s single-split vs ~3 s spread. The guard is scale-aware:
+    # a real corpus scan has ≥ parallelism splits and the repartition is a
+    # no-op branch (same idiom as similarity_edges).
+    #
+    # The corpus is spread by HASH(id), not round-robin, for two reasons
+    # (guide §2.4 "remove shuffles outright"): (a) explode and the broadcast
+    # probe preserve the streamed side's partitioning, so
+    # hashpartitioning(id) already satisfies the (id, bench_id) aggregation's
+    # clustering — the match-count agg runs as ONE complete in-partition
+    # hash agg with NO exchange, where the round-robin spread shuffled every
+    # matched (doc, bench) pair a second time (at sf1.0 that second shuffle
+    # carried ~34M pair rows vs the 50k-row spread); (b) keyless repartition
+    # pays a sort-before-repartition pass that hash partitioning skips. ids
+    # are unique, so hash spreading cannot skew. The benchmark side feeds a
+    # broadcast build only — a round-robin spread is fine there.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < min(par, 8):
+        corpus = corpus.repartition(par, F.col(id_col))
+    if benchmarks.rdd.getNumPartitions() < min(par, 8):
+        benchmarks = benchmarks.repartition(par)
     c = corpus.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )

@@ -20,7 +20,7 @@ connected_components is for.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .canonicalize import _truncate_lineage
@@ -128,7 +128,21 @@ def khop_reach(
             )
             if frontier.isEmpty():
                 break
-            reach = _fresh(_truncate_lineage(reach.union(frontier), reliable_checkpoint))
+            # LAZY union, deliberately NOT re-checkpointed: every leg of the
+            # union is itself a checkpoint (pairs + each round's frontier),
+            # so lineage depth is bounded at k legs and consumers just scan
+            # the materialized blocks. The old per-round
+            # _truncate_lineage(reach.union(frontier)) re-wrote the ENTIRE
+            # accumulated reach set each round — O(k·|reach|) extra block
+            # writes for zero lineage benefit (guide §1.2: don't compute
+            # things you throw away). pin_edges keeps the old re-checkpoint:
+            # there the first leg is the pinned CACHE, which the finally
+            # unpersists — a lazy union returned to the caller would silently
+            # recompute the whole edge derivation from lineage.
+            if pinned is not None:
+                reach = _fresh(_truncate_lineage(reach.union(frontier), reliable_checkpoint))
+            else:
+                reach = _fresh(reach.union(frontier))
         if pinned is not None and reach is pairs:
             # k == 1 or round 1 drained: detach from the cache before unpersist
             reach = _fresh(_truncate_lineage(pairs, reliable_checkpoint))
@@ -417,9 +431,16 @@ def triangle_counts(edges: DataFrame, reliable_checkpoint: bool = False) -> Data
     # dedup — the pair {v, w} is one wedge either way); closure = the
     # canonical undirected edge (v, w), which exists iff v < w matches und's
     # (least, greatest) form
+    # shuffle_hash on both heavy joins (guide §3.1): sort-merge would SORT
+    # the wedge stream — Σ_v C(outdeg⁺(v), 2) rows, the largest intermediate
+    # of the whole operator (≫ m on co-purchase-shaped graphs) — plus the
+    # oriented edge list, twice. A shuffled hash join builds the hash table
+    # from the edge-list side (m/partitions rows — bounded, the orientation
+    # already capped per-node fan-out at O(√m)) and streams the wedges with
+    # zero sorts. Same partitioning, same shuffles, no Sort operators.
     wedges = (
         ori.alias("o1")
-        .join(ori.alias("o2"), F.col("o1.src") == F.col("o2.src"))
+        .join(ori.alias("o2").hint("shuffle_hash"), F.col("o1.src") == F.col("o2.src"))
         .filter(F.col("o1.dst") < F.col("o2.dst"))
         .select(
             F.col("o1.src").alias("apex"),
@@ -428,7 +449,7 @@ def triangle_counts(edges: DataFrame, reliable_checkpoint: bool = False) -> Data
         )
     )
     closed = wedges.join(
-        und, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+        und.hint("shuffle_hash"), (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
     ).select("apex", "v", "w")
     member = (
         closed.select(F.col("apex").alias("id"))
@@ -573,8 +594,16 @@ def bfs_distances(
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     spark = edges.sparkSession
+    # RAW pairs, deliberately NOT .distinct()ed: the visited/frontier sets are
+    # built by distinct() + anti-join AFTER the extension join, so duplicate
+    # edges cannot change any round's frontier — they only multiply the
+    # pre-distinct join output by the (small) edge-multiplicity factor. A
+    # distinct here is a full O(m) shuffle whose only effect is shaving that
+    # factor off the per-round scan (guide §2.4: remove shuffles outright);
+    # the checkpoint still materializes the projection once so rounds never
+    # replay the caller's edge derivation.
     pairs = _fresh(
-        _truncate_lineage(edges.select("src", "dst").distinct(), reliable_checkpoint)
+        _truncate_lineage(edges.select("src", "dst"), reliable_checkpoint)
     )
     visited = spark.createDataFrame(
         [(s, 0) for s in sorted(set(seeds))], "id string, dist int"
@@ -696,15 +725,14 @@ def label_propagation(
         # re-read the checkpointed adjacency (no re-derivation), pinned
         pinned = _pin_by_key(adj, "nb", False)
         adj = _fresh(pinned)
-    win = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("label").asc())
     # try/finally (ADVICE r5): release the pinned adjacency cache even when
     # an iteration raises.
     try:
         for i in range(iters):
             # The (id, label) aggregation keeps its own shuffle on purpose:
             # map-side partials bound a hub's vote rows before they move, so
-            # the per-id window sees at most (distinct labels per id) rows —
-            # the hub-safe shape. Collapsing agg+window onto one id-shuffle
+            # the per-id argmax sees at most (distinct labels per id) rows —
+            # the hub-safe shape. Collapsing agg+argmax onto one id-shuffle
             # would move every raw vote of a hub into one partition.
             label_side = labels.select(F.col("id").alias("nb"), "label")
             label_side = (
@@ -715,10 +743,22 @@ def label_propagation(
                 .groupBy("id", "label")
                 .agg(F.sum("w").alias("s"))
             )
+            # Argmax by the total (s DESC, label ASC) order as a HASH
+            # AGGREGATION instead of row_number over a window: the row that
+            # wins is exactly the lexicographic MIN of (-s, label), an
+            # order-free reduction, so the result is bit-identical to the
+            # old window pick. The win (guide §2.3 "aggregate before you
+            # shuffle"): min() does map-side partial aggregation — the
+            # exchange before the argmax carries ≤ one row per (id, map
+            # task) instead of every (id, label) score row, and the
+            # per-round Sort + Window operators disappear entirely
+            # (measured at sf1.0: the old plan sorted ~11M score rows in
+            # round 1). -s is safe: s is a positive int64 weight sum far
+            # below overflow.
             labels = (
-                scores.withColumn("rn", F.row_number().over(win))
-                .filter(F.col("rn") == 1)
-                .select("id", "label")
+                scores.groupBy("id")
+                .agg(F.min(F.struct((-F.col("s")).alias("ns"), "label")).alias("m"))
+                .select("id", F.col("m.label").alias("label"))
             )
             if (i + 1) % checkpoint_every == 0 or i == iters - 1:
                 labels = _fresh(_truncate_lineage(labels, reliable_checkpoint))

@@ -104,13 +104,29 @@ def skew_aware_join(
     forcing a plan→RDD conversion for the exact partition count — the quota
     only shapes prefix sizes, so an approximation is fine.
     """
+    # Gate on the LARGEST LEAF relation, not the plan-root estimate
+    # (ADVICE r6): without CBO the root estimate multiplies child sizes
+    # through joins/explodes, so derived plans routinely "estimate" far
+    # above 8 GiB at tiny actual sizes and the probe (hence salting)
+    # silently turned off for exactly the derived-plan callers this wrapper
+    # targets. The probe's own cost is one column-pruned pass over the
+    # leaves, so the leaf bound is the honest cost proxy.
     try:
-        est_bytes = int(
-            big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        leaves = big._jdf.queryExecution().optimizedPlan().collectLeaves()
+        est_bytes = max(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
         )
     except Exception:
         est_bytes = 0  # unknown -> probe (small/test plans lack stats rarely)
     if est_bytes > max_probe_bytes:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "skew_aware_join: probe skipped (largest leaf ~%d bytes > "
+            "max_probe_bytes=%d); falling back to plain join with AQE "
+            "skew handling", est_bytes, max_probe_bytes,
+        )
         return big.join(small, key, how)
     # per-partition row offset from monotonically_increasing_id's documented
     # layout: partition id in the upper 31 bits, record-in-partition in the

@@ -303,11 +303,34 @@ def export_shards(
         raise ValueError("pass exactly one of n_shards / target_bytes")
     if checksums not in ("sha256", "none"):
         raise ValueError(f"checksums must be 'sha256' or 'none', got {checksums!r}")
+    from ..sources.manifest import content_fingerprint
+
     marker = os.path.join(path, "_EXPORT_SUCCESS")
     manifest_path = os.path.join(path, "_manifest.json")
+    # Full request parameters, persisted in the manifest (ADVICE r6: the old
+    # manifest recorded neither target_bytes nor the checksum policy, so a
+    # resume could not tell which request produced it).
+    params = {
+        "id_col": id_col,
+        "bytes_col": bytes_col,
+        "checksums": checksums,
+        "n_shards_arg": n_shards,
+        "target_bytes": target_bytes,
+    }
+    # Input identity: order-free (count, xor-of-id-hash) over the id column —
+    # one single-column agg scan per call. Stamped at write and REQUIRED to
+    # match on the short-circuit (ADVICE r6, medium): a completed export for
+    # a different df / different params must not be silently adopted; the
+    # deterministic overwrite below rebuilds it instead.
+    _, input_fp = content_fingerprint(df, [id_col])
     if os.path.exists(marker) and os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            return json.load(f)
+            stored = json.load(f)
+        if (
+            stored.get("params") == params
+            and stored.get("input_fingerprint") == input_fp
+        ):
+            return stored
 
     if n_shards is None:
         total = df.agg(
@@ -357,9 +380,19 @@ def export_shards(
     }
     for s in shards:
         s["rows"] = counts.get(s["shard"], 0)
+    # Every shard id 0..n_shards-1 appears (ADVICE r6: consumers iterating
+    # the id range used to hit missing entries) — zero-row shards get
+    # rows=0 / bytes=0 and no file/sha256 (no directory is written for them).
+    present = {s["shard"] for s in shards}
+    for k in range(n_shards):
+        if k not in present:
+            shards.append({"shard": k, "bytes": 0, "rows": 0})
+    shards.sort(key=lambda s: s["shard"])
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
+        "params": params,
+        "input_fingerprint": input_fp,
         "total_rows": sum(s["rows"] for s in shards),
         "total_bytes": sum(s["bytes"] for s in shards),
         "shards": shards,

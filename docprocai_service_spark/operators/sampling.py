@@ -58,6 +58,11 @@ def stratified_sample(
             raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    if "__rate" in df.columns:
+        # ADVICE r6: a pre-existing __rate column would collide with the
+        # recipe join's internal column and silently bind the filter/drop to
+        # the wrong one — fail fast instead.
+        raise ValueError("input df already has a '__rate' column")
     spark = df.sparkSession
     recipe = spark.createDataFrame(
         [(g, float(r)) for g, r in sorted(rates.items())],

@@ -43,22 +43,32 @@ def term_counts(
     group_col: str = "source",
     max_ngram: int = 2,
 ) -> DataFrame:
-    """(group, term, tf): 1..max_ngram word-gram counts per group (pure JVM)."""
+    """(group, term, tf): 1..max_ngram word-gram counts per group (pure JVM).
+
+    ONE scan + ONE tokenization + ONE explode for all gram sizes: each row's
+    1..max_ngram gram arrays are concat'ed and exploded together. The old
+    shape unioned a separate branch per gram size, re-scanning the corpus and
+    re-running the tokenizer split max_ngram times (guide §2.3 "don't compute
+    things you throw away" — the union's branches shared no work). The
+    exploded multiset is identical, so the groupBy counts are unchanged.
+    Small-file inputs are spread first (guide §6): a few-MB parquet corpus is
+    1-2 scan splits, which would run the whole explode+partial-agg pipeline
+    on 1-2 cores; the guard is a no-op on real multi-split inputs.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
     base = df.select(F.col(group_col).alias("group"), _tokens(text_col).alias("ws"))
-    parts = [base.select("group", F.explode("ws").alias("term"))]
+    gram_arrays = ["ws"]
     for n in range(2, max_ngram + 1):
         joined = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n)).replace("ws[i + 0]", "ws[i]")
-        parts.append(
-            base.filter(F.size("ws") >= n).select(
-                "group",
-                F.explode(
-                    F.expr(f"transform(sequence(0, size(ws) - {n}), i -> {joined})")
-                ).alias("term"),
-            )
+        gram_arrays.append(
+            f"CASE WHEN size(ws) >= {n} "
+            f"THEN transform(sequence(0, size(ws) - {n}), i -> {joined}) "
+            f"ELSE CAST(array() AS array<string>) END"
         )
-    terms = parts[0]
-    for p in parts[1:]:
-        terms = terms.unionByName(p)
+    grams = gram_arrays[0] if len(gram_arrays) == 1 else f"concat({', '.join(gram_arrays)})"
+    terms = base.select("group", F.explode(F.expr(grams)).alias("term"))
     return terms.groupBy("group", "term").agg(F.count("*").alias("tf"))
 
 

@@ -180,21 +180,27 @@ def test_out_neighborhood_scan_prunes_buckets(spark, tmp_path):
 
 
 def test_contamination_corpus_never_shuffles_before_match_agg(spark):
-    """Round-6 plan contract: the benchmark gram table broadcasts and the
-    only Exchange in the contamination plan is the (doc, bench) match-count
-    aggregation — the corpus side reaches the join map-side."""
+    """Round-7 plan contract (tightened from round 6): the benchmark gram
+    table broadcasts, and the ONLY hashpartitioning Exchange is the
+    small-input spread of the raw corpus by doc id — which the explode and
+    broadcast probe PRESERVE, so the (doc, bench) match-count aggregation
+    itself runs with NO exchange at all (the round-6 plan still shuffled
+    every matched pair into the agg; the exploded/matched gram stream now
+    never shuffles)."""
     import __spark_entry__ as E
 
     plan = plan_str(E.queries()["contamination_docs"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
-    # exchanges: the broadcast build + the hashpartitioning agg; no
-    # additional shuffle of the exploded corpus grams
     hash_exchanges = [
         ln for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln or ("Arguments: hashpartitioning" in ln)
     ]
     assert len(hash_exchanges) <= 1, hash_exchanges
+    # and that one exchange is the doc-id spread of the corpus, NOT the agg:
+    # it carries the doc id, never the exploded gram or the bench id
+    for ln in hash_exchanges:
+        assert "bench_id" not in ln and "gram" not in ln, ln
 
 
 def test_export_shards_single_shuffle_plan(spark):
