@@ -44,6 +44,15 @@ _RE_BOILER = re.compile(r"(?is)<(nav|header|footer|aside)\b[^>]*>.*?</\1>")
 _RE_BLOCK_CLOSE = re.compile(r"(?i)<br\s*/?>|</(p|div|li|ul|ol|h[1-6]|tr|table|section|article|blockquote)>")
 _RE_TAG = re.compile(r"(?s)<[^>]*>")
 _RE_TAG_OPEN_TRAIL = re.compile(r"<[^>]*$")
+# Single-pass fusion of _RE_TAG then _RE_TAG_OPEN_TRAIL (vectorized path
+# only; the scalar oracle keeps the two passes so tests pin equivalence).
+# Proof sketch: both scan left→right; at an unconsumed '<' with a '>'
+# somewhere after it, both remove exactly '<'..first-'>' ; at a '<' with NO
+# '>' after it, pass 1 leaves the tail byte-identical (no further match is
+# possible) and pass 2 removes '<'..EOF — which is precisely what the
+# second alternative does in the fused scan. Tag removal never creates new
+# '<' or '>' characters, so the induction carries through the whole string.
+_RE_TAG_ALL = re.compile(r"(?s)<[^>]*>|<[^>]*$")
 _RE_SPACES = re.compile(r"[ \t\r\f\v]+")
 _RE_LINE_EDGE = re.compile(r"(?m)^[ ]+|[ ]+$")
 _RE_EMPTY_LINES = re.compile(r"\n{2,}")
@@ -155,15 +164,24 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     no per-row Python). Same regexes as extract_text_str."""
     s = _to_str_series(html)
     s = s.str.replace(_RE_DROP, "", regex=True)
-    # fallback chain: main -> unclosed main -> body -> unclosed body -> as-is
+    # fallback chain: main -> unclosed main -> body -> unclosed body -> as-is.
+    # Each fallback regex runs ONLY on the rows the previous steps left null
+    # (r7, guide §1.2 "don't compute things you throw away": the old chain
+    # ran every fallback extract over every row and discarded the ~95% whose
+    # <main> already matched — three full-document regex passes wasted on a
+    # normal crawl batch). fillna semantics are unchanged by construction.
     extracted = s.str.extract(_RE_MAIN, expand=False)
     for rx in (_RE_MAIN_OPEN, _RE_BODY, _RE_BODY_OPEN):
-        extracted = extracted.fillna(s.str.extract(rx, expand=False))
+        na = extracted.isna() & s.notna()
+        if not na.any():
+            break
+        extracted.loc[na] = s[na].str.extract(rx, expand=False)
     s = extracted.fillna(s)
     s = s.str.replace(_RE_BOILER, "", regex=True)
     s = s.str.replace(_RE_BLOCK_CLOSE, "\n", regex=True)
-    s = s.str.replace(_RE_TAG, "", regex=True)
-    s = s.str.replace(_RE_TAG_OPEN_TRAIL, "", regex=True)
+    # one fused pass for tag strip + unclosed-trailing-tag strip (see
+    # _RE_TAG_ALL: provably the same result as the oracle's two passes)
+    s = s.str.replace(_RE_TAG_ALL, "", regex=True)
     s = s.str.replace(_RE_ENTITY, _entity_sub, regex=True)
     s = s.str.replace(_RE_SPACES, " ", regex=True)
     s = s.str.replace(_RE_LINE_EDGE, "", regex=True)

@@ -152,3 +152,35 @@ def test_cosine_pairs_banded_recall_at_moderate_threshold(spark, vectors):
     assert banded <= exact
     if exact:
         assert len(banded) / len(exact) >= 0.8, (len(banded), len(exact))
+
+
+def test_jvm_word_jaccard_verify_matches_python_oracle(spark):
+    """r7: similarity_edges' word-mode exact verify moved from the Arrow
+    jaccard UDF to pure-JVM array_intersect/array_union over word_ngrams
+    gram sets. Pin the JVM sim expression to the scalar Python oracle
+    (functions.hashing.jaccard) on adversarial strings: empty, blank,
+    sub-n-token, unicode whitespace, duplicates-within-text, punctuation."""
+    from docprocai_service_spark.functions.hashing import jaccard
+    from docprocai_service_spark.operators.contamination import word_ngrams
+
+    texts = [
+        "", "   ", "one", "one two", "one two three",
+        "a b c d e f g", "a b c a b c a b c", "A B c D", "a b c d e",
+        "word word word word", "x. y! z? p, q", "tail a b c d tail",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    pairs = df.alias("l").crossJoin(df.alias("r")).select(
+        F.col("l.id").alias("i"), F.col("r.id").alias("j"),
+        F.col("l.t").alias("t1"), F.col("r.t").alias("t2"),
+    )
+    g1 = F.coalesce(word_ngrams(F.col("t1"), 3), F.array().cast("array<string>"))
+    g2 = F.coalesce(word_ngrams(F.col("t2"), 3), F.array().cast("array<string>"))
+    sim = F.when((F.size(g1) == 0) & (F.size(g2) == 0), F.lit(1.0)).otherwise(
+        F.size(F.array_intersect(g1, g2)).cast("double") / F.size(F.array_union(g1, g2))
+    )
+    got = {(r["i"], r["j"]): r["s"] for r in pairs.withColumn("s", sim).collect()}
+    for i, t1 in enumerate(texts):
+        for j, t2 in enumerate(texts):
+            want = jaccard(t1, t2, shingle="word", n=3)
+            assert abs(got[(i, j)] - want) < 1e-12, (t1, t2, got[(i, j)], want)
