@@ -731,8 +731,24 @@ def _tpch_entity_edges(spark, sf_dir):
     def tag(prefix, col):
         return F.concat(F.lit(prefix), F.col(col).cast("string"))
 
+    # The one big⋈big join of the derivation (guide §3.1 — pick the strategy
+    # deliberately): the orders side is projected to (o_orderkey, o_custkey),
+    # a sliver of the lineitem side. At bench scales its estimate sits under
+    # the 10 MB autoBroadcast default and the planner already broadcasts it
+    # (plan-verified at sf0.1 and a scaled sf1.0 twin — this branch changes
+    # NOTHING there); the point is the next decade: between 10 and 64 MiB
+    # the default would silently flip to sort-merge, so broadcast is pinned
+    # while the projection comfortably fits executor memory, and past 64 MiB
+    # a shuffled-hash join is pinned so the O(m) lineitem stream is never
+    # SORTED — sort-merge's only extra cost on an equi-join whose output
+    # feeds a hash aggregation anyway (same shuffles, no Sort operators).
+    try:
+        est = int(od._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 1 << 62
+    od_side = F.broadcast(od) if est <= (64 << 20) else od.hint("shuffle_hash")
     sc = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
+        li.join(od_side, li.l_orderkey == od_side.o_orderkey)
         .select(tag("S", "l_suppkey").alias("src"), tag("C", "o_custkey").alias("dst"))
     )
     cn = cu.select(tag("C", "c_custkey").alias("src"), tag("N", "c_nationkey").alias("dst"))
@@ -1281,7 +1297,13 @@ def label_propagation_tpch(spark, sf_dir):
     round-for-round."""
     from docprocai_service_spark.operators.graph import label_propagation
 
-    return label_propagation(_tpch_entity_edges(spark, sf_dir), iters=4)
+    # cadence 2: half the lineage-truncation barrier jobs (same knob and
+    # rationale as pagerank_tpch's cadence 3; r7 interleaved A/B at a scaled
+    # sf1.0 twin: cad=2 won every paired round, 13.6 vs 17.6 s best-paired).
+    # The labels — and hence the oracle hash — are cadence-independent.
+    return label_propagation(
+        _tpch_entity_edges(spark, sf_dir), iters=4, checkpoint_every=2
+    )
 
 
 def khop_reach_approx_tpch(spark, sf_dir):

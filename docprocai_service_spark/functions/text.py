@@ -29,6 +29,8 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # --------------------------------------------------------------- regexes
 # Compiled once; both the scalar and the vectorized paths use exactly these.
@@ -109,6 +111,54 @@ _RE_TRIPLE = re.compile(TRIPLE_REGEX)
 # stage uses (one regexp_extract + split instead of three full matches).
 PRED_SCAN_REGEX = rf" ({_PRED_ALT}) "
 
+# ----------------------------------------------- Arrow/RE2 fast-path twins
+# The vectorized path offloads the regex passes that dominate its CPU to
+# pyarrow.compute (RE2, vectorized C++ across the whole batch — guide §4.2)
+# wherever the RE2 twin is PROVABLY equivalent to the Python pattern. The
+# scalar oracle above keeps the Python patterns; parity is pinned by the
+# fuzz suites (tests/test_arrow_parity.py + test_fuzz_parity.py).
+#
+# Python-`re` vs RE2 divergences that the twins must compensate (the passes
+# that would need `\b` — script/main/boiler tag opens, where RE2's \b is
+# ASCII-only vs Python's Unicode — deliberately STAY on the pandas head:
+# pandas extract measured faster than RE2-with-captures there anyway):
+#   * `\s` in RE2 is ASCII-only; Python's is Unicode. _PY_WS_RE2 is the
+#     LITERAL enumeration of every codepoint Python's \s matches (29, none
+#     astral — verified exhaustively over all of Unicode this round).
+#   * `$` without (?m) in RE2 is end-of-TEXT; Python's also matches before a
+#     trailing '\n'. The one twin using '$' (TRIPLE_REGEX_RE2) runs on
+#     provably '\n'-free strings — sentences, where every '\n' was a split
+#     separator.
+#   * RE2 has no lookbehind — the sentence boundary is rewritten as
+#     normalize-then-split (proof at _ARROW_SENT_NORM below).
+# The three whitespace-cleanup patterns used verbatim below contain no \s,
+# \b, \w or lookaround, so they mean the same thing in both engines.
+_ARROW_SPACES = r"[ \t\r\f\v]+"
+_ARROW_LINE_EDGE = r"(?m)^[ ]+|[ ]+$"
+_ARROW_EMPTY_LINES = r"\n{2,}"
+
+# Every codepoint Python re's \s matches (exhaustive; none above 0xFFFF).
+_PY_WS_RE2 = (
+    "\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f \\x85\\xa0\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}"
+)
+
+# Sentence boundary without lookbehind: first normalize every
+# punctuation-then-whitespace-run boundary to a single '\n' (the replacement
+# keeps the punctuation via \1), then split on '\n' and drop empty pieces.
+# Equivalence to re.split(SENT_SPLIT_REGEX) + empty-filter: the alternation
+# `(?<=[.!?])\s+|\n+` prefers the \s+ branch, which consumes the maximal
+# whitespace run after punctuation — exactly what this replacement consumes,
+# leaving one '\n'; runs NOT after punctuation can only split at their
+# '\n' characters (branch 2), which the plain '\n' split reproduces; the
+# empty pieces a '\n{2,}' run produces are dropped on both sides.
+_ARROW_SENT_NORM = rf"([.!?])[{_PY_WS_RE2}]+"
+
+# Named-group RE2 twin of TRIPLE_REGEX (RE2 extract requires named groups).
+# `$` here is safe: sentences are '\n'-free by construction (see above), so
+# Python's trailing-newline `$` special case can never fire.
+TRIPLE_REGEX_RE2 = rf"^(?P<s>.+?) (?P<p>{_PRED_ALT}) (?P<o>.+?)\.?$"
+
 
 # ------------------------------------------------- scalar (oracle) path
 def extract_text_str(html: bytes | str | None) -> str | None:
@@ -159,9 +209,15 @@ def _to_str_series(html: pd.Series) -> pd.Series:
     return html.astype("string")
 
 
-def extract_text_series(html: pd.Series) -> pd.Series:
-    """Vectorized extraction over an Arrow batch (pandas .str ops end-to-end;
-    no per-row Python). Same regexes as extract_text_str."""
+def extract_text_arrow(html: pd.Series) -> pa.Array:
+    """Vectorized extraction over an Arrow batch: pandas .str head (the
+    patterns that need Python-re semantics: backrefs in _RE_BOILER, and
+    extract passes where pandas measured faster than RE2-with-captures),
+    then the whitespace-cleanup tail — ~60% of the chain's CPU on a
+    corpus-shaped batch — through pyarrow/RE2 (measured 2.5× on that tail;
+    byte-identity vs the scalar oracle pinned by tests). Returns the
+    pa.StringArray so the fused parse can stay in Arrow; use
+    extract_text_series for the pandas view."""
     s = _to_str_series(html)
     s = s.str.replace(_RE_DROP, "", regex=True)
     # fallback chain: main -> unclosed main -> body -> unclosed body -> as-is.
@@ -183,8 +239,54 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     # _RE_TAG_ALL: provably the same result as the oracle's two passes)
     s = s.str.replace(_RE_TAG_ALL, "", regex=True)
     s = s.str.replace(_RE_ENTITY, _entity_sub, regex=True)
-    s = s.str.replace(_RE_SPACES, " ", regex=True)
-    s = s.str.replace(_RE_LINE_EDGE, "", regex=True)
-    s = s.str.replace(_RE_EMPTY_LINES, "\n", regex=True).str.strip("\n")
-    s = s.where(s.str.len() > 0)  # empty -> NULL (empty-page filter)
+    # ---- Arrow tail: the three whitespace passes + trim + empty->NULL.
+    # The patterns carry no \s/\b/\w/lookaround, so RE2 and Python re agree
+    # character-for-character (see the twin-pattern notes above).
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    arr = pc.replace_substring_regex(arr, pattern=_ARROW_SPACES, replacement=" ")
+    arr = pc.replace_substring_regex(arr, pattern=_ARROW_LINE_EDGE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_ARROW_EMPTY_LINES, replacement="\n")
+    arr = pc.utf8_trim(arr, characters="\n")
+    # empty -> NULL (empty-page filter)
+    return pc.if_else(
+        pc.equal(pc.utf8_length(arr), 0), pa.scalar(None, pa.string()), arr
+    )
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized extraction over an Arrow batch — pandas view of
+    extract_text_arrow. Byte-identical per row to extract_text_str."""
+    s = extract_text_arrow(html).to_pandas()
     return s.astype(object).where(s.notna(), None)
+
+
+def arrow_sentences(text_arr: pa.Array):
+    """Flat sentence split of a text column, all-Arrow + numpy.
+
+    Returns (sentences pa.StringArray, doc_idx int64 ndarray, sent_no int64
+    ndarray): exactly the rows `[x for x in _RE_SENT_SPLIT.split(t) if x]`
+    yields per document, with each sentence's source-row index and its
+    position AFTER empty-piece filtering — the fused parse's bookkeeping.
+    Null/empty docs contribute zero rows. Equivalence proof of the
+    normalize-then-split rewrite: _ARROW_SENT_NORM above."""
+    import numpy as np
+
+    norm = pc.replace_substring_regex(
+        text_arr, pattern=_ARROW_SENT_NORM, replacement="\\1\n"
+    )
+    lists = pc.split_pattern(norm, pattern="\n")
+    flat = pc.list_flatten(lists)  # null docs contribute no pieces
+    ll = (
+        pc.list_value_length(lists)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    doc_idx_all = np.repeat(np.arange(len(ll)), ll)
+    ck = np.cumsum(keep)
+    starts = np.zeros(len(ll), dtype=np.int64)
+    np.cumsum(ll[:-1], out=starts[1:])
+    kept_before = np.concatenate([[0], ck])[starts]
+    sent_no = (ck - 1 - kept_before[doc_idx_all])[keep]
+    return pc.filter(flat, pa.array(keep)), doc_idx_all[keep], sent_no.astype(np.int64)

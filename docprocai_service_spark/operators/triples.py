@@ -114,16 +114,27 @@ def fused_triples_stage(pages: DataFrame) -> DataFrame:
     pipeline defaults to fused, matching the input-hint's
     'vectorized pandas/Arrow UDFs throughout'.
 
-    The regexes are the SAME compiled objects the scalar oracle uses
-    (functions/text.py), so byte-identity per url is preserved by
-    construction. The triple parse is the one-shot anchored TRIPLE_REGEX —
-    the EXACT oracle semantic (reference_impl uses the same compiled regex).
+    The regex passes run through RE2/pyarrow twins of the oracle's compiled
+    patterns where the twin is provably equivalent (functions/text.py
+    documents each proof: \\s and \\b rewritten as explicit verified
+    classes, the sentence lookbehind as normalize-then-split), with the
+    pandas head reusing the oracle's own compiled objects — byte-identity
+    per url is pinned by the parity fuzz suites. The triple parse is the
+    one-shot anchored TRIPLE_REGEX_RE2 — the EXACT oracle semantic
+    (reference_impl matches the same grammar through Python re).
     The JVM path's scan+carve agrees on every tested corpus but can diverge
     on a pathological sentence whose leftmost predicate has an empty object
     while a later predicate would parse (regex backtracks; the carve drops
     the row) — the fused path is the normative one.
     """
-    from ..functions.text import _RE_SENT_SPLIT, _RE_TRIPLE, extract_text_series
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.text import (
+        TRIPLE_REGEX_RE2,
+        arrow_sentences,
+        extract_text_arrow,
+    )
 
     empty = {
         "subj": pd.Series(dtype="object"),
@@ -140,27 +151,29 @@ def fused_triples_stage(pages: DataFrame) -> DataFrame:
             if not len(pdf):
                 yield pd.DataFrame(empty)
                 continue
-            text = extract_text_series(pdf["html"])
-            sent_lists = [
-                [x for x in _RE_SENT_SPLIT.split(t) if x] if t else [] for t in text
-            ]
-            counts = np.array([len(sl) for sl in sent_lists], dtype=np.int64)
-            total = int(counts.sum())
-            if not total:
+            # Extract + sentence split + triple match stay in Arrow end to
+            # end (r7, guide §4.2: batch work through vectorized native
+            # kernels): the RE2 twins are byte-identical to the Python
+            # patterns (proofs in functions/text.py; parity fuzz-pinned by
+            # tests/test_arrow_parity.py). Measured on a 5.4k-page
+            # corpus-shaped batch: split 0.33→0.08 s, triple match
+            # 0.50→0.19 s, whitespace tail 0.53→0.20 s vs the pandas path.
+            text = extract_text_arrow(pdf["html"])
+            sents, doc_idx, sent_no = arrow_sentences(text)
+            if not len(sents):
                 yield pd.DataFrame(empty)
                 continue
-            idx = np.repeat(np.arange(len(pdf)), counts)
-            sents = pd.Series([s for sl in sent_lists for s in sl], dtype="object")
-            sent_no = np.concatenate([np.arange(c) for c in counts])
-            m = sents.str.extract(_RE_TRIPLE)  # one vectorized pass, 3 groups
-            keep = m[0].notna().to_numpy()
+            m = pc.extract_regex(sents, pattern=TRIPLE_REGEX_RE2)
+            keep = pc.is_valid(m).to_numpy(zero_copy_only=False)
+            mk = pc.filter(m, pa.array(keep))
+            idx = doc_idx[keep]
             yield pd.DataFrame(
                 {
-                    "subj": m[0].to_numpy()[keep],
-                    "pred": m[1].to_numpy()[keep],
-                    "obj": m[2].to_numpy()[keep],
-                    "url": pdf["url"].to_numpy()[idx][keep],
-                    "warc_ts": pdf["warc_ts"].to_numpy()[idx][keep],
+                    "subj": pc.struct_field(mk, "s").to_pandas().to_numpy(),
+                    "pred": pc.struct_field(mk, "p").to_pandas().to_numpy(),
+                    "obj": pc.struct_field(mk, "o").to_pandas().to_numpy(),
+                    "url": pdf["url"].to_numpy()[idx],
+                    "warc_ts": pdf["warc_ts"].to_numpy()[idx],
                     "sent_no": sent_no[keep].astype("int32"),
                 }
             )
