@@ -42,21 +42,34 @@ def resolve_entities(triples: DataFrame, alias_dict: DataFrame, canon_map: DataF
     ('NIL:' + sha256(lower(surface))) so unknown-but-identical mentions still
     aggregate — never dropped rows, never random ids.
     """
+    # The alias→entity and entity→canon lookups are composed DICT-SIDE into
+    # one alias→resolved-id map before broadcasting (r7, guide §1.2: the old
+    # shape probed two broadcast tables per side — four joins over the O(n)
+    # triple stream; coalesce(canon, entity) is a pure function of the
+    # dictionary rows, so composing it on the ~10⁴-row side is free and
+    # halves the per-row probes). localCheckpoint before broadcast for the
+    # same reason link_mentions pins its reduced dict: a BroadcastExchange
+    # whose child contains a window aggregation can stall in AQE planning.
     best = reduce_alias_dict(alias_dict)
-    canon = canon_map.select(
-        F.col("entity_id").alias("__eid"), F.col("canon_id").alias("__canon")
+    amap = (
+        best.join(
+            canon_map.select("entity_id", "canon_id"), "entity_id", "left"
+        )
+        .select(
+            F.col("alias").alias("__alias"),
+            F.coalesce("canon_id", "entity_id").alias("__rid"),
+        )
+        .localCheckpoint()
     )
 
     def link_side(df: DataFrame, surface_col: str, out_col: str) -> DataFrame:
         df = df.withColumn("__alias", F.lower(F.col(surface_col)))
-        df = df.join(F.broadcast(best.select(F.col("alias").alias("__alias"), "entity_id")), "__alias", "left")
-        df = df.join(F.broadcast(canon), df["entity_id"] == canon["__eid"], "left")
+        df = df.join(F.broadcast(amap), "__alias", "left")
         resolved = F.coalesce(
-            F.col("__canon"),
-            F.col("entity_id"),
+            F.col("__rid"),
             F.concat(F.lit("NIL:"), F.sha2(F.lower(F.col(surface_col)), 256)),
         )
-        return df.withColumn(out_col, resolved).drop("__alias", "entity_id", "__eid", "__canon")
+        return df.withColumn(out_col, resolved).drop("__alias", "__rid")
 
     out = link_side(triples, "subj", "src_entity")
     out = link_side(out, "obj", "dst_entity")
