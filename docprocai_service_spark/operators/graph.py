@@ -652,7 +652,13 @@ def bfs_distances(
                 f.join(pairs.alias("e"), F.col("f.id") == F.col("e.src"))
                 .select(F.col("e.dst").alias("id"))
                 .distinct()
-                .join(visited, "id", "left_anti"),
+                # shuffle_hash: the anti-join's sides are node-sized and the
+                # left side already arrives hash-partitioned by id from the
+                # distinct — sort-merge would add two Sorts per round for
+                # nothing (same khop rationale; measured small-but-consistent
+                # on the scaled twin: 3.76 vs 3.88 s best, winner in the
+                # quiet paired rounds)
+                .join(visited.hint("shuffle_hash"), "id", "left_anti"),
                 reliable_checkpoint,
             )
         )
