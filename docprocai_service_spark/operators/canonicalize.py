@@ -107,7 +107,14 @@ def similarity_edges(
     if verify == "exact":
         n1 = sigs.select(F.col("id").alias("src"), F.col("name").alias("name1"))
         n2 = sigs.select(F.col("id").alias("dst"), F.col("name").alias("name2"))
-        jac = make_jaccard_udf(shingle=shingle, n=n)
+        # asNondeterministic (guide §4.4): the ≥-threshold filter below
+        # references the UDF column, and the optimizer's filter pushdown
+        # otherwise DUPLICATES the evaluation — plan-verified two
+        # ArrowEvalPython nodes running jaccard_udf over every candidate
+        # pair, one below the pushed filter and one in the output
+        # projection. The UDF is pure, so the marker only pins a single
+        # evaluation; results are identical (oracle-hashed).
+        jac = make_jaccard_udf(shingle=shingle, n=n).asNondeterministic()
         scored = (
             pairs.join(n1, "src")
             .join(n2, "dst")

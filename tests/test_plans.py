@@ -219,3 +219,23 @@ def test_export_shards_single_shuffle_plan(spark):
     assert "hashpartitioning(shard" in plan
     # local (per-partition) sort, no global ordering shuffle
     assert "Sort [shard" in plan and "], false," in plan
+
+
+def test_similarity_exact_verify_single_udf_evaluation(spark):
+    """The exact-Jaccard verify UDF must appear ONCE in the plan (r7, guide
+    §4.4): the ≥-threshold filter references the UDF column, and without the
+    asNondeterministic marker filter pushdown duplicated the evaluation into
+    two ArrowEvalPython nodes — every candidate pair paid the Python
+    boundary and the set algebra twice."""
+    from docprocai_service_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_near_dup_pairs(docs, threshold=0.8, shingle="word", n=3)
+    p = plan_str(df)
+    jac_nodes = [
+        block for block in p.split("\n\n")
+        if block.strip().splitlines()
+        and "ArrowEvalPython" in block.strip().splitlines()[0]
+        and "jaccard_udf" in block
+    ]
+    assert len(jac_nodes) == 1, f"expected 1 jaccard ArrowEvalPython, got {len(jac_nodes)}"
